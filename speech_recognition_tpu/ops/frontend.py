@@ -1,0 +1,206 @@
+"""Audio feature frontend — batched, jit-friendly, MXU-shaped.
+
+Replaces the reference's per-sample TF graph (input_data.py:360-381):
+
+    tf.contrib.signal.stft(frame_length=W, frame_step=S, fft_length=None)
+    -> abs -> linear_to_mel_weight_matrix(n_mels, 257, sr, 80, 7600)
+    -> log(mel + 1e-6) -> mfccs_from_log_mel_spectrograms[..., :n_mfcc]
+
+Design: everything becomes constant matrices applied with batched matmuls
+so the whole frontend rides the MXU instead of scalar FFT butterflies:
+
+  * framing        — one gather with a precomputed [frames, W] index grid
+  * rFFT           — real/imag DFT bases [W, fft_bins] (window folded in)
+  * mel filterbank — [fft_bins, n_mels] constant matmul
+  * DCT-II         — [n_mels, n_mfcc] constant matmul
+
+Numerics follow tf.signal exactly: periodic Hann window, fft_length =
+next_pow2(W) -> 257 bins, HTK mel scale 1127*ln(1+f/700) with the DC bin
+zeroed, and DCT-II scaled by 1/sqrt(2*n_mels).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speech_recognition_tpu.config import ModelSettings
+
+LOG_OFFSET = 1e-6  # input_data.py:378
+
+
+def hann_window_periodic(length: int, dtype=np.float32) -> np.ndarray:
+    """Periodic Hann window (tf.signal.hann_window(periodic=True))."""
+    n = np.arange(length, dtype=np.float64)
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * n / length)).astype(dtype)
+
+
+def next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def hertz_to_mel(freq_hz):
+    """HTK mel scale used by tf.signal: 1127 * ln(1 + f/700)."""
+    return 1127.0 * np.log1p(np.asarray(freq_hz, dtype=np.float64) / 700.0)
+
+
+def linear_to_mel_weight_matrix(num_mel_bins: int,
+                                num_spectrogram_bins: int,
+                                sample_rate: float,
+                                lower_edge_hertz: float,
+                                upper_edge_hertz: float,
+                                dtype=np.float32) -> np.ndarray:
+    """Triangular mel filterbank, parity with tf.signal (input_data.py:369-373).
+
+    The DC bin is excluded from the triangle computation and re-added as a
+    zero row, matching tf.signal.linear_to_mel_weight_matrix.
+    """
+    nyquist = sample_rate / 2.0
+    linear_freqs = np.linspace(0.0, nyquist, num_spectrogram_bins)[1:]
+    spectrogram_bins_mel = hertz_to_mel(linear_freqs)[:, None]
+    band_edges_mel = np.linspace(hertz_to_mel(lower_edge_hertz),
+                                 hertz_to_mel(upper_edge_hertz),
+                                 num_mel_bins + 2)
+    lower = band_edges_mel[None, 0:num_mel_bins]
+    center = band_edges_mel[None, 1:num_mel_bins + 1]
+    upper = band_edges_mel[None, 2:num_mel_bins + 2]
+    lower_slopes = (spectrogram_bins_mel - lower) / (center - lower)
+    upper_slopes = (upper - spectrogram_bins_mel) / (upper - center)
+    weights = np.maximum(0.0, np.minimum(lower_slopes, upper_slopes))
+    return np.pad(weights, [[1, 0], [0, 0]]).astype(dtype)
+
+
+def dct2_matrix(n_in: int, n_out: int, dtype=np.float32) -> np.ndarray:
+    """Unnormalized DCT-II basis scaled by 1/sqrt(2*n_in).
+
+    tf.signal.mfccs_from_log_mel_spectrograms computes
+    ``dct(type=2, norm=None) * rsqrt(2 * num_mel_bins)``; the [n_in, n_out]
+    matrix here folds both in so MFCC extraction is one matmul (and the
+    truncation to the first ``n_out`` coefficients, input_data.py:379-381).
+    """
+    n = np.arange(n_in, dtype=np.float64)[:, None]
+    k = np.arange(n_out, dtype=np.float64)[None, :]
+    basis = 2.0 * np.cos(np.pi * k * (2.0 * n + 1.0) / (2.0 * n_in))
+    return (basis / np.sqrt(2.0 * n_in)).astype(dtype)
+
+
+def dft_bases(frame_length: int, fft_length: int,
+              window: Optional[np.ndarray] = None,
+              dtype=np.float32) -> Tuple[np.ndarray, np.ndarray]:
+    """Real/imag rFFT bases [frame_length, fft_length//2+1].
+
+    frames @ cos_basis == Re(rfft(frames * window, fft_length)) and
+    frames @ sin_basis == Im(...); zero-padding the frame to fft_length is
+    implicit since basis rows only cover the first ``frame_length`` samples.
+    The analysis window is folded into the bases (one less elementwise op).
+    """
+    num_bins = fft_length // 2 + 1
+    n = np.arange(frame_length, dtype=np.float64)[:, None]
+    k = np.arange(num_bins, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * n * k / fft_length
+    cos_b, sin_b = np.cos(ang), -np.sin(ang)
+    if window is not None:
+        cos_b = cos_b * window[:, None].astype(np.float64)
+        sin_b = sin_b * window[:, None].astype(np.float64)
+    return cos_b.astype(dtype), sin_b.astype(dtype)
+
+
+def frame_indices(num_samples: int, frame_length: int,
+                  frame_step: int) -> np.ndarray:
+    """[num_frames, frame_length] gather grid (no pad_end, like tf stft)."""
+    num_frames = 1 + (num_samples - frame_length) // frame_step
+    return (np.arange(num_frames)[:, None] * frame_step +
+            np.arange(frame_length)[None, :]).astype(np.int32)
+
+
+def frame_signal(x: jax.Array, frame_length: int,
+                 frame_step: int) -> jax.Array:
+    """Frame [..., T] into [..., frames, frame_length] via one gather."""
+    idx = jnp.asarray(frame_indices(x.shape[-1], frame_length, frame_step))
+    return x[..., idx]
+
+
+@dataclasses.dataclass(frozen=True)
+class Frontend:
+    """Batched feature extractor for a fixed ``ModelSettings`` geometry.
+
+    All methods take float32 waveforms [B, desired_samples] and are safe
+    under jit/pjit (constants are closed-over numpy arrays).
+    """
+
+    settings: ModelSettings
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @functools.cached_property
+    def _constants(self):
+        s = self.settings
+        window = hann_window_periodic(s.window_size_samples)
+        cos_b, sin_b = dft_bases(s.window_size_samples, s.fft_length, window)
+        mel = linear_to_mel_weight_matrix(
+            s.dct_coefficient_count, s.fft_length // 2 + 1, s.sample_rate,
+            s.lower_edge_hertz, s.upper_edge_hertz)
+        dct = dct2_matrix(s.dct_coefficient_count, s.num_log_mel_features)
+        idx = frame_indices(s.desired_samples, s.window_size_samples,
+                            s.window_stride_samples)
+        return dict(window=window, cos_b=cos_b, sin_b=sin_b, mel=mel,
+                    dct=dct, idx=idx)
+
+    def spectrogram(self, wav: jax.Array) -> jax.Array:
+        """|STFT| magnitude [B, frames, fft_bins] (input_data.py:361-366)."""
+        c = self._constants
+        frames = wav[..., jnp.asarray(c["idx"])]
+        frames = frames.astype(self.compute_dtype)
+        # HIGHEST precision: the MXU's default bf16 passes cost ~1e-2
+        # absolute error here, violating the float32-parity requirement.
+        # The frontend is a tiny share of total FLOPs, so this is cheap.
+        re = jnp.matmul(frames, jnp.asarray(c["cos_b"]),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        im = jnp.matmul(frames, jnp.asarray(c["sin_b"]),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        return jnp.sqrt(re * re + im * im)
+
+    def log_mel(self, wav: jax.Array) -> jax.Array:
+        """log(mel + 1e-6) [B, frames, n_mels] (input_data.py:374-378)."""
+        spec = self.spectrogram(wav)
+        mel = jnp.matmul(spec, jnp.asarray(self._constants["mel"]),
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        return jnp.log(mel + LOG_OFFSET)
+
+    def mfcc(self, wav: jax.Array) -> jax.Array:
+        """MFCCs [B, frames, num_log_mel_features] (input_data.py:379-381)."""
+        return jnp.matmul(self.log_mel(wav),
+                          jnp.asarray(self._constants["dct"]),
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    def features(self, wav: jax.Array, representation: Optional[str] = None):
+        """Dispatch on output representation, flattened like the reference.
+
+        'raw' -> [B, T]; 'spec' -> [B, frames*257]; 'mfcc' ->
+        [B, frames*n_mfcc]; 'mfcc_and_raw' -> (mfcc_flat, raw).
+        (input_data.py:437-448,517-531)
+        """
+        rep = representation or self.settings.output_representation
+        if rep == "raw":
+            return wav
+        if rep == "spec":
+            s = self.spectrogram(wav)
+            return s.reshape(s.shape[0], -1)
+        if rep == "mfcc":
+            m = self.mfcc(wav)
+            return m.reshape(m.shape[0], -1)
+        if rep == "mfcc_and_raw":
+            m = self.mfcc(wav)
+            return m.reshape(m.shape[0], -1), wav
+        raise ValueError(f"unknown representation {rep!r}")

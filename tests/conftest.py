@@ -1,16 +1,24 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
-Must set XLA flags before jax initializes, so this lives at the very top
-of conftest (pytest imports it before any test module).
+The environment pins JAX_PLATFORMS to the axon TPU plugin, which ignores
+env-var overrides, so we force the CPU platform through jax.config before
+any backend initializes. XLA_FLAGS must also be set before first jax use.
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+assert jax.default_backend() == "cpu"
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices for tests"
