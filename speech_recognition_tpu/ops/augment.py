@@ -1,0 +1,181 @@
+"""Batched, device-resident audio augmentation.
+
+Replaces the reference's per-sample Python->TF-session hot loop
+(input_data.py:457-536) with vectorized `jax.random` draws under jit.
+Marginal distributions match the reference's per-sample policy:
+
+  * time shift   — w.p. ``time_shift_frequency`` a circular np.roll by
+                   randint[min, max] (tf_roll, utils.py:56-73; applied
+                   input_data.py:346-347,471-475)
+  * background   — training only: random bank snippet at a random offset;
+                   volume ~ U(0, background_volume_range) w.p.
+                   ``background_frequency`` else 0, except silence clips
+                   which w.p. 0.9 get U(0, silence_volume_range)
+                   (input_data.py:481-496,503-504)
+  * foreground   — silence -> 0; else 1, w.p. ``foreground_frequency``
+                   1 + U(-r, r); sign-flipped w.p. ``flip_frequency``
+                   (input_data.py:503-514)
+  * composition  — out = background*bg_vol + roll(wav*fg_vol, shift);
+                   clipping deliberately omitted (input_data.py:356)
+
+All shapes are static; randomness comes from one splittable PRNG key.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speech_recognition_tpu.config import AugmentConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class BackgroundBank:
+    """Flattened background-noise bank for random-crop gathers.
+
+    ``flat`` concatenates every ``_background_noise_`` clip; ``starts`` and
+    ``lengths`` delimit each clip. Clips shorter than ``min_length`` must be
+    filtered out by the builder (the reference requires background files
+    longer than one second, input_data.py:484-487).
+    """
+
+    flat: jax.Array       # [total_samples] float32
+    starts: jax.Array     # [num_clips] int32
+    lengths: jax.Array    # [num_clips] int32
+
+    @property
+    def num_clips(self) -> int:
+        return self.starts.shape[0]
+
+    @staticmethod
+    def from_arrays(clips, min_length: int) -> "BackgroundBank":
+        clips = [np.asarray(c, dtype=np.float32) for c in clips
+                 if len(c) > min_length]
+        if not clips:
+            raise ValueError("no background clip longer than %d" % min_length)
+        flat = np.concatenate(clips)
+        lengths = np.array([len(c) for c in clips], dtype=np.int32)
+        starts = np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(np.int32)
+        return BackgroundBank(flat=jnp.asarray(flat),
+                              starts=jnp.asarray(starts),
+                              lengths=jnp.asarray(lengths))
+
+
+def roll_batch(wav: jax.Array, shifts: jax.Array) -> jax.Array:
+    """Per-sample circular shift with np.roll semantics.
+
+    out[b, i] = wav[b, (i - shifts[b]) % T] — the jit-able answer to the
+    reference's ``TODO(see--): Write test with np.roll`` (input_data.py:345).
+    """
+    t = wav.shape[-1]
+    idx = (jnp.arange(t)[None, :] - shifts[:, None]) % t
+    return jnp.take_along_axis(wav, idx, axis=-1)
+
+
+def sample_background(key: jax.Array, bank: BackgroundBank,
+                      batch_size: int, num_samples: int) -> jax.Array:
+    """Random [batch, num_samples] crops from the background bank.
+
+    Parity: input_data.py:481-487 (uniform clip choice, uniform offset in
+    [0, len - num_samples)).
+    """
+    k_clip, k_off = jax.random.split(key)
+    clip_idx = jax.random.randint(k_clip, (batch_size,), 0, bank.num_clips)
+    max_off = (bank.lengths[clip_idx] - num_samples).astype(jnp.float32)
+    u = jax.random.uniform(k_off, (batch_size,))
+    offsets = jnp.floor(u * max_off).astype(jnp.int32)
+    pos = bank.starts[clip_idx] + offsets
+    gather = pos[:, None] + jnp.arange(num_samples)[None, :]
+    return bank.flat[gather]
+
+
+def draw_volumes(key: jax.Array, is_silence: jax.Array,
+                 cfg: AugmentConfig, batch_size: int,
+                 use_background: bool) -> Tuple[jax.Array, jax.Array]:
+    """Draw (foreground_volume, background_volume) per sample."""
+    k_bgp, k_bgv, k_silp, k_silv, k_fgp, k_fgv, k_flip = (
+        jax.random.split(key, 7))
+    # background volume (input_data.py:489-496)
+    if use_background:
+        bg_hit = jax.random.uniform(k_bgp, (batch_size,)) \
+            < cfg.background_frequency
+        bg_vol = jnp.where(
+            bg_hit,
+            jax.random.uniform(k_bgv, (batch_size,))
+            * cfg.background_volume_range,
+            0.0)
+        sil_hit = (~bg_hit) & is_silence & (
+            jax.random.uniform(k_silp, (batch_size,))
+            < cfg.silence_background_frequency)
+        bg_vol = jnp.where(
+            sil_hit,
+            jax.random.uniform(k_silv, (batch_size,))
+            * cfg.silence_volume_range,
+            bg_vol)
+    else:
+        bg_vol = jnp.zeros((batch_size,))
+    # foreground volume (input_data.py:503-514)
+    fg_vol = jnp.ones((batch_size,))
+    fg_hit = jax.random.uniform(k_fgp, (batch_size,)) \
+        < cfg.foreground_frequency
+    fg_vol = jnp.where(
+        fg_hit,
+        1.0 + jax.random.uniform(
+            k_fgv, (batch_size,),
+            minval=-cfg.foreground_volume_range,
+            maxval=cfg.foreground_volume_range),
+        fg_vol)
+    flip = jax.random.uniform(k_flip, (batch_size,)) < cfg.flip_frequency
+    fg_vol = jnp.where(flip, -fg_vol, fg_vol)
+    fg_vol = jnp.where(is_silence, 0.0, fg_vol)
+    return fg_vol, bg_vol
+
+
+def augment_batch(key: jax.Array,
+                  wav: jax.Array,
+                  is_silence: jax.Array,
+                  cfg: AugmentConfig,
+                  background: Optional[BackgroundBank] = None,
+                  training: bool = True) -> jax.Array:
+    """Apply the full augmentation policy to a batch.
+
+    Args:
+      key: PRNG key (split internally).
+      wav: [B, T] float32 decoded waveforms.
+      is_silence: [B] bool, True for ``_silence_``-labeled entries.
+      cfg: augmentation knobs (static under jit).
+      background: background bank; only used when ``training``.
+      training: static flag; False reproduces the reference's eval path
+        (neutral feed: no shift, no background, fg volume 1 or 0;
+        make_submission.py:86-93, utils.py:15-24).
+
+    Returns [B, T] float32 augmented waveforms (no clipping,
+    input_data.py:356).
+    """
+    batch, num_samples = wav.shape
+    if not training:
+        fg_vol = jnp.where(is_silence, 0.0, 1.0)
+        return wav * fg_vol[:, None]
+
+    k_shift_p, k_shift, k_bg, k_vol = jax.random.split(key, 4)
+    lo, hi = cfg.time_shift_range
+    if cfg.time_shift_frequency > 0.0 and (lo, hi) != (0, 0):
+        do_shift = jax.random.uniform(k_shift_p, (batch,)) \
+            < cfg.time_shift_frequency
+        shift = jax.random.randint(k_shift, (batch,), lo, hi + 1)
+        shift = jnp.where(do_shift, shift, 0)
+    else:
+        shift = jnp.zeros((batch,), jnp.int32)
+
+    use_background = background is not None
+    fg_vol, bg_vol = draw_volumes(k_vol, is_silence, cfg, batch,
+                                  use_background)
+    out = roll_batch(wav * fg_vol[:, None], shift)
+    if use_background:
+        snippets = sample_background(k_bg, background, batch, num_samples)
+        out = out + snippets * bg_vol[:, None]
+    return out
