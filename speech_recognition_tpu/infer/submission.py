@@ -1,0 +1,132 @@
+"""Submission generation + probability exchange formats.
+
+Parity with make_submission.py:34-213 and the team ensemble formats:
+  * wanted-label CSV / all-label CSV / all-probability CSV
+    (make_submission.py:198-212)
+  * uint8 memmap probabilities, shape (N, 12), values round(prob*255)
+    (convert_from_see_v3_bugfix.py:107-110)
+  * Pi-style batch-1 CSV from the AOT artifact lives in export/.
+"""
+
+from __future__ import annotations
+
+import csv
+import glob
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from speech_recognition_tpu.data.wav import decode_batch_int16
+from speech_recognition_tpu.labels import (
+    map_to_valid, map_to_wanted, prepare_words_list, get_classes,
+)
+
+# Heng's 12-class submission order (create_pseudo_with_thresh.py:10-11)
+AUDIO_NAMES = ["silence", "unknown", "yes", "no", "up", "down",
+               "left", "right", "on", "off", "stop", "go"]
+
+
+def list_test_files(test_dir: str) -> List[str]:
+    """Sorted test WAVs (make_submission.py:35)."""
+    return sorted(glob.glob(os.path.join(test_dir, "*.wav")))
+
+
+def predict_directory(predictor, variables, test_dir: str,
+                      batch_size: int = 384,
+                      tta_dir: Optional[str] = None,
+                      desired_samples: int = 16000,
+                      progress: bool = False):
+    """Run TTA inference over a directory of WAVs.
+
+    Returns (basenames, probs [N, C]). The tail partial batch is padded to
+    a full batch for a single compiled shape, then trimmed (the reference
+    re-runs a ragged batch instead, make_submission.py:160-196).
+    """
+    import jax.numpy as jnp
+    fns = list_test_files(test_dir)
+    tta_fns = None
+    if tta_dir is not None:
+        tta_fns = [os.path.join(tta_dir, os.path.basename(f)) for f in fns]
+    all_probs = []
+    n = len(fns)
+    for start in range(0, n, batch_size):
+        chunk = fns[start:start + batch_size]
+        pad = batch_size - len(chunk)
+        wav = decode_batch_int16(chunk, desired_samples)
+        wav = wav.astype(np.float32) / 32768.0
+        if pad:
+            wav = np.pad(wav, ((0, pad), (0, 0)))
+        slow = None
+        if tta_fns is not None:
+            slow_chunk = tta_fns[start:start + batch_size]
+            slow = decode_batch_int16(slow_chunk, desired_samples)
+            slow = slow.astype(np.float32) / 32768.0
+            if pad:
+                slow = np.pad(slow, ((0, pad), (0, 0)))
+            slow = jnp.asarray(slow)
+        probs = np.asarray(predictor.predict(variables, jnp.asarray(wav),
+                                             slow))
+        if pad:
+            probs = probs[:-pad]
+        all_probs.append(probs)
+        if progress:
+            print(f"  {min(start + batch_size, n)}/{n}")
+    basenames = [os.path.basename(f) for f in fns]
+    return basenames, (np.concatenate(all_probs, axis=0)
+                       if all_probs else np.zeros((0, 0)))
+
+
+def write_submission_csvs(prefix: str, basenames: Sequence[str],
+                          probs: np.ndarray, int2label: Dict[int, str],
+                          wanted_words: Optional[Sequence[str]] = None,
+                          ) -> Dict[str, str]:
+    """Write the three reference CSVs (make_submission.py:198-212).
+
+    Returns {kind: path}. ``prefix`` is a path prefix without extension.
+    """
+    if wanted_words is None:
+        wanted_words = prepare_words_list(get_classes(wanted_only=True))
+    preds = probs.argmax(axis=-1)
+    labels_all = [map_to_valid(int2label[int(p)]) for p in preds]
+    labels_wanted = [map_to_wanted(l, list(wanted_words))
+                     for l in labels_all]
+    paths = {}
+
+    paths["wanted"] = f"{prefix}.csv"
+    with open(paths["wanted"], "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["fname", "label"])
+        w.writerows(zip(basenames, labels_wanted))
+
+    paths["all"] = f"{prefix}_all_labels.csv"
+    with open(paths["all"], "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["fname", "label"])
+        w.writerows(zip(basenames, labels_all))
+
+    paths["probs"] = f"{prefix}_all_labels_probs.csv"
+    with open(paths["probs"], "w", newline="") as f:
+        w = csv.writer(f)
+        class_names = [int2label[i] for i in range(probs.shape[1])]
+        w.writerow(["fname", "label"] + class_names)
+        for bn, lab, row in zip(basenames, labels_all, probs):
+            w.writerow([bn, lab] + [repr(float(v)) for v in row])
+    return paths
+
+
+def write_uint8_memmap(path: str, probs: np.ndarray) -> None:
+    """Team probability exchange format: uint8 memmap of prob*255
+    (convert_from_see_v3_bugfix.py:107-110)."""
+    mm = np.memmap(path, dtype="uint8", mode="w+", shape=probs.shape)
+    mm[...] = (probs * 255).astype(np.uint8)
+    mm.flush()
+
+
+def read_uint8_memmap(path: str, num_rows: int,
+                      num_classes: int = 12) -> np.ndarray:
+    """Read back to float probabilities in [0, 1]
+    (create_pseudo_with_thresh.py:15-18)."""
+    mm = np.memmap(path, dtype="uint8", mode="r",
+                   shape=(num_rows, num_classes))
+    return np.asarray(mm, dtype=np.float32) / 255.0

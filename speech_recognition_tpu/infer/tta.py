@@ -1,0 +1,93 @@
+"""Batched test-time-augmentation inference.
+
+Parity with make_submission.py:118-155: probabilities are the mean of the
+identity, roll(-1500), and 1.2x-volume variants (weights 1/3 each); the
+optional speed-TTA path adds three variants of a 0.9x time-stretched clip
+and divides the 6-term sum by 10 (make_submission.py:131-140 — the /10 is
+the reference's deliberate down-weighting, reproduced as-is).
+
+TPU-first: all variants are computed in ONE jitted program per batch —
+the variant axis is folded into the batch so the model runs once on
+[num_variants*B, ...] instead of num_variants sequential predicts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speech_recognition_tpu.config import ModelSettings
+from speech_recognition_tpu.ops.frontend import Frontend
+
+
+@dataclasses.dataclass(frozen=True)
+class TTAConfig:
+    use_tta: bool = True
+    roll: int = -1500            # make_submission.py:126
+    loud: float = 1.2            # make_submission.py:128
+    use_speed_tta: bool = False
+    slow_loud: float = 1.1       # make_submission.py:135 (clipped)
+    slow_silent: float = 0.9     # make_submission.py:136
+    speed_denominator: float = 10.0  # make_submission.py:137-140
+
+
+class Predictor:
+    """Jitted softmax predictor for a trained zoo model."""
+
+    def __init__(self, module, settings: ModelSettings,
+                 representation: str, tta: TTAConfig = TTAConfig()):
+        self.module = module
+        self.settings = settings
+        self.representation = representation
+        self.tta = tta
+        self.frontend = Frontend(settings)
+        self._jit_probs = jax.jit(self._probs)
+        self._jit_probs_tta = jax.jit(self._probs_tta)
+
+    def _apply(self, variables, wav):
+        x = self.frontend.features(wav, self.representation)
+        logits = self.module.apply(variables, x, train=False)
+        return jax.nn.softmax(logits, axis=-1)
+
+    def _probs(self, variables, wav):
+        return self._apply(variables, wav)
+
+    def _probs_tta(self, variables, wav, slow_wav=None):
+        b = wav.shape[0]
+        variants = [
+            wav,
+            jnp.roll(wav, self.tta.roll, axis=1),
+            self.tta.loud * wav,
+        ]
+        if self.tta.use_speed_tta and slow_wav is not None:
+            variants += [
+                slow_wav,
+                jnp.clip(self.tta.slow_loud * slow_wav, -1.0, 1.0),
+                self.tta.slow_silent * slow_wav,
+            ]
+        stacked = jnp.concatenate(variants, axis=0)
+        probs = self._apply(variables, stacked)
+        probs = probs.reshape(len(variants), b, -1)
+        if self.tta.use_speed_tta and slow_wav is not None:
+            return probs.sum(axis=0) / self.tta.speed_denominator
+        return probs.mean(axis=0)
+
+    def predict(self, variables, wav: jax.Array,
+                slow_wav: Optional[jax.Array] = None) -> jax.Array:
+        """Averaged class probabilities [B, num_classes]."""
+        if self.tta.use_tta:
+            return self._jit_probs_tta(variables, wav, slow_wav)
+        return self._jit_probs(variables, wav)
+
+
+def variables_from_state(state) -> dict:
+    """Build an inference variable dict from a TrainState."""
+    v = {"params": state.params}
+    if state.batch_stats:
+        v["batch_stats"] = state.batch_stats
+    return v

@@ -1,0 +1,341 @@
+"""Reusable model blocks (flax.linen), TPU-native.
+
+Design notes vs the reference (model.py):
+
+  * DepthwiseConv1D is a real grouped `lax.conv_general_dilated`
+    (``feature_group_count=channels``) instead of the reference's
+    expand_dims -> DepthwiseConv2D(1, k) -> squeeze workaround
+    (model.py:34-52) — fewer reshapes, same math, XLA tiles it onto the
+    MXU/VPU directly.
+  * Grouped convolutions use ``feature_group_count=g`` rather than
+    per-group slicing + concat (model.py:651-693). BatchNorm is
+    per-channel, so BN-after-concat equals per-group BN exactly.
+  * Models emit *logits*; the softmax lives in the loss / inference head
+    (numerically better than the reference's softmax-then-log loss,
+    utils.py:87-108 — divergence documented there).
+  * BatchNorm uses Keras defaults (momentum 0.99, eps 1e-3) with
+    per-replica statistics under data parallelism (the reference is
+    single-device; `axis_name` can be passed for cross-replica stats).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+BN_MOMENTUM = 0.99
+BN_EPS = 1e-3
+
+
+def relu6(x: jax.Array) -> jax.Array:
+    """K.relu(x, max_value=6) (model.py:30-31)."""
+    return jnp.minimum(jnp.maximum(x, 0.0), 6.0)
+
+
+def preprocess_mfcc(x: jax.Array) -> jax.Array:
+    """(x + 0.8) / 7 clipped to [-5, 5] (model.py:13-16).
+
+    Normalizes MFCC-space inputs using the dataset running stats the
+    reference documents at train.py:14-16.
+    """
+    return jnp.clip((x + 0.8) / 7.0, -5.0, 5.0)
+
+
+def preprocess_raw(x: jax.Array) -> jax.Array:
+    """Identity on raw waveforms (model.py:19-21)."""
+    return x
+
+
+def _padding(p: str) -> str:
+    return {"valid": "VALID", "same": "SAME"}[p.lower()]
+
+
+class ConvBN(nn.Module):
+    """Conv(1D/2D) -> BatchNorm -> activation, the reference's workhorse
+    (e.g. model.py:173-185). ``groups`` > 1 gives grouped convolution."""
+
+    features: int
+    kernel: Sequence[int]
+    strides: Optional[Sequence[int]] = None
+    padding: str = "same"
+    dilation: Optional[Sequence[int]] = None
+    groups: int = 1
+    use_bias: bool = False
+    activation: Optional[Callable] = relu6
+    use_bn: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            features=self.features,
+            kernel_size=tuple(self.kernel),
+            strides=tuple(self.strides) if self.strides else None,
+            padding=_padding(self.padding),
+            kernel_dilation=tuple(self.dilation) if self.dilation else None,
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+        )(x)
+        if self.use_bn:
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                             dtype=self.dtype)(x)
+        if self.activation is not None:
+            x = self.activation(x)
+        return x
+
+
+class DepthwiseConvBlock(nn.Module):
+    """Depthwise conv (+ optional BN/relu6) -> pointwise conv -> BN -> relu6.
+
+    Parity with ``_depthwise_conv_block`` (model.py:34-52): the depthwise
+    step carries stride/dilation/padding; the 1x1 pointwise projects to
+    ``features``.
+    """
+
+    features: int
+    kernel: int
+    padding: str = "same"
+    strides: int = 1
+    dilation: int = 1
+    use_bias: bool = False
+    intermediate_activation: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        channels = x.shape[-1]
+        x = nn.Conv(
+            features=channels,
+            kernel_size=(self.kernel,),
+            strides=(self.strides,),
+            padding=_padding(self.padding),
+            kernel_dilation=(self.dilation,),
+            feature_group_count=channels,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+        )(x)
+        if self.intermediate_activation:
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                             dtype=self.dtype)(x)
+            x = relu6(x)
+        x = nn.Conv(features=self.features, kernel_size=(1,),
+                    use_bias=self.use_bias, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train,
+                         momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                         dtype=self.dtype)(x)
+        return relu6(x)
+
+
+class GroupedDepthwiseBlock(nn.Module):
+    """Grouped variant of DepthwiseConvBlock (model.py:999-1037).
+
+    Depthwise over all channels + grouped pointwise == the reference's
+    per-group depthwise blocks concatenated. Note: the reference's
+    ``_grouped_context_conv`` accidentally convolves the *full* tensor for
+    every group (model.py:1032,1368); we implement the intended grouped
+    semantics — divergence flagged for parity evals.
+    """
+
+    features: int
+    kernel: int
+    groups: int
+    padding: str = "same"
+    strides: int = 1
+    dilation: int = 1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        channels = x.shape[-1]
+        x = nn.Conv(
+            features=channels, kernel_size=(self.kernel,),
+            strides=(self.strides,), padding=_padding(self.padding),
+            kernel_dilation=(self.dilation,), feature_group_count=channels,
+            use_bias=False, dtype=self.dtype)(x)
+        x = nn.Conv(features=self.features, kernel_size=(1,),
+                    feature_group_count=self.groups, use_bias=False,
+                    dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train,
+                         momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                         dtype=self.dtype)(x)
+        return relu6(x)
+
+
+def max_pool_1d(x: jax.Array, pool: int = 3, strides: int = 2,
+                padding: str = "valid") -> jax.Array:
+    return nn.max_pool(x, window_shape=(pool,), strides=(strides,),
+                       padding=_padding(padding))
+
+
+def avg_pool_1d(x: jax.Array, pool: int = 3, strides: int = 1,
+                padding: str = "same") -> jax.Array:
+    return nn.avg_pool(x, window_shape=(pool,), strides=(strides,),
+                       padding=_padding(padding))
+
+
+def max_pool_2d(x: jax.Array, pool=(2, 2), strides=None,
+                padding: str = "valid") -> jax.Array:
+    strides = strides or pool
+    return nn.max_pool(x, window_shape=tuple(pool), strides=tuple(strides),
+                       padding=_padding(padding))
+
+
+def global_avg_pool(x: jax.Array) -> jax.Array:
+    """GlobalAveragePooling over all non-(batch, channel) axes."""
+    return x.mean(axis=tuple(range(1, x.ndim - 1)))
+
+
+def global_max_pool(x: jax.Array) -> jax.Array:
+    return x.max(axis=tuple(range(1, x.ndim - 1)))
+
+
+def hard_sigmoid(x: jax.Array) -> jax.Array:
+    """Keras hard_sigmoid: clip(0.2*x + 0.5, 0, 1)."""
+    return jnp.clip(0.2 * x + 0.5, 0.0, 1.0)
+
+
+class GRU(nn.Module):
+    """Keras-2.1-semantics GRU as a `lax.scan` (SURVEY §7 hard part 4).
+
+    Matches the Keras v1 GRU cell (reset_after=False, recurrent_activation
+    hard_sigmoid): z/r gates from input+state, candidate from input and
+    r*state, new state = z*h + (1-z)*hh. The reference's dropout /
+    recurrent_dropout (model.py:148,973-974) is approximated by input
+    dropout only — variational dropout inside scan costs a [T, B, H] mask
+    with no accuracy evidence here; divergence documented.
+    """
+
+    units: int
+    return_sequences: bool = False
+    reverse: bool = False
+    dropout: float = 0.0
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # x: [B, T, C]
+        if self.dropout > 0.0:
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        u = self.units
+        c = x.shape[-1]
+        # Explicit params (glorot input kernels, orthogonal-free recurrent
+        # kernels per flax defaults) so the recurrent step is plain jnp —
+        # flax submodules cannot be invoked inside a raw lax.scan body.
+        w_in = self.param("kernel", nn.initializers.lecun_normal(),
+                          (c, 3 * u))
+        b_in = self.param("bias", nn.initializers.zeros, (3 * u,))
+        u_zr = self.param("recurrent_kernel_zr",
+                          nn.initializers.orthogonal(), (u, 2 * u))
+        u_h = self.param("recurrent_kernel_h",
+                         nn.initializers.orthogonal(), (u, u))
+        # Precompute input projections for all timesteps (one big matmul
+        # that rides the MXU; the scan only does [B,H]x[H,H] updates).
+        xw = x @ w_in + b_in  # [B, T, 3u]
+        if self.reverse:
+            xw = jnp.flip(xw, axis=1)
+        xw_t = jnp.swapaxes(xw, 0, 1)  # [T, B, 3u]
+
+        def step(h, xw_step):
+            gates_h = h @ u_zr  # [B, 2u]
+            z = hard_sigmoid(xw_step[..., :u] + gates_h[..., :u])
+            r = hard_sigmoid(xw_step[..., u:2 * u] + gates_h[..., u:])
+            hh = jnp.tanh(xw_step[..., 2 * u:] + (r * h) @ u_h)
+            h_new = z * h + (1.0 - z) * hh
+            return h_new, h_new
+
+        h0 = jnp.zeros((x.shape[0], u), dtype=xw.dtype)
+        h_last, hs = jax.lax.scan(step, h0, xw_t)
+        if self.return_sequences:
+            hs = jnp.swapaxes(hs, 0, 1)
+            return jnp.flip(hs, axis=1) if self.reverse else hs
+        return h_last
+
+
+class BiGRU(nn.Module):
+    """Bidirectional(GRU(units)) with concat merge (model.py:148)."""
+
+    units: int
+    return_sequences: bool = False
+    dropout: float = 0.0
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        fwd = GRU(self.units, self.return_sequences, reverse=False,
+                  dropout=self.dropout, dtype=self.dtype)(x, train)
+        bwd = GRU(self.units, self.return_sequences, reverse=True,
+                  dropout=self.dropout, dtype=self.dtype)(x, train)
+        return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+class AlphaDropout(nn.Module):
+    """SELU-preserving dropout (Klambauer et al. 2017), parity with
+    keras.layers.noise.AlphaDropout used by the SNN model (model.py:89)."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if not train or self.rate == 0.0:
+            return x
+        alpha = 1.6732632423543772
+        scale = 1.0507009873554805
+        alpha_p = -alpha * scale
+        rng = self.make_rng("dropout")
+        keep = jax.random.bernoulli(rng, 1.0 - self.rate, x.shape)
+        a = (1.0 - self.rate) * (1.0 + self.rate * alpha_p ** 2)
+        a = jax.lax.rsqrt(a)
+        b = -a * alpha_p * self.rate
+        return a * jnp.where(keep, x, alpha_p) + b
+
+
+class Residual1D(nn.Module):
+    """Reference residual block (model.py:866-878): optional strided 1x1-BN
+    shortcut, two depthwise blocks, max-pool, add.
+
+    ``pool_size`` differs across the zoo: 3 for raw-waveform trunks
+    (model.py:877), ``strides`` for the log-mfcc trunk (model.py:1440).
+    ``pool_mode``='stride_on_first_conv' reproduces steffeNet's variant
+    (model.py:1688-1699) where the stride sits on the first depthwise
+    block and there is no pooling.
+    """
+
+    features: int
+    kernel: int = 3
+    strides: int = 1
+    pool_size: int = 3
+    pool_mode: str = "pool"  # 'pool' | 'pool_eq_stride' | 'stride_on_first_conv'
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.strides != 1:
+            residual = nn.Conv(self.features, (1,), strides=(self.strides,),
+                               padding="SAME", use_bias=False,
+                               dtype=self.dtype)(x)
+            residual = nn.BatchNorm(use_running_average=not train,
+                                    momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                                    dtype=self.dtype)(residual)
+        else:
+            residual = x
+        first_stride = (self.strides
+                        if self.pool_mode == "stride_on_first_conv" else 1)
+        x = DepthwiseConvBlock(self.features, self.kernel, padding="same",
+                               strides=first_stride, dtype=self.dtype)(
+                                   x, train)
+        x = DepthwiseConvBlock(self.features, self.kernel, padding="same",
+                               dtype=self.dtype)(x, train)
+        if self.pool_mode == "pool":
+            x = max_pool_1d(x, pool=3, strides=self.strides, padding="same")
+        elif self.pool_mode == "pool_eq_stride":
+            x = max_pool_1d(x, pool=self.strides, strides=self.strides,
+                            padding="same")
+        return x + residual

@@ -1,0 +1,256 @@
+"""Training loop — one jitted, batch-sharded program per step.
+
+The reference's step is: Python draws per-sample randomness, runs one TF
+session call *per sample* for augment+features, then Keras
+train_on_batch (train.py:69-71, input_data.py:457-536). Here the entire
+step — sample selection, bank gather, int16 decode, augmentation,
+feature extraction, forward/backward, optimizer update — is a single
+XLA program taking only (state, PRNG key). Batches are sharded over the
+data-parallel mesh; XLA inserts the gradient psum over ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import core, struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from speech_recognition_tpu.config import AugmentConfig, ModelSettings
+from speech_recognition_tpu.data.device_bank import DeviceDataset
+from speech_recognition_tpu.models import build_model
+from speech_recognition_tpu.models.zoo import ModelSpec
+from speech_recognition_tpu.ops.augment import augment_batch
+from speech_recognition_tpu.ops.frontend import Frontend
+from speech_recognition_tpu.parallel.mesh import (
+    DATA_AXIS, constrain_batch, make_mesh,
+)
+from speech_recognition_tpu.train import metrics as M
+from speech_recognition_tpu.train.optim import (
+    build_optimizer, l2_kernel_penalty, smooth_cross_entropy,
+)
+
+
+class TrainState(struct.PyTreeNode):
+    """Flax-style train state + BatchNorm running statistics."""
+
+    step: jax.Array
+    params: core.FrozenDict
+    batch_stats: core.FrozenDict
+    opt_state: Any
+    apply_fn: Callable = struct.field(pytree_node=False)
+    tx: Any = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, new_batch_stats):
+        updates, new_opt_state = self.tx.update(
+            grads, self.opt_state, self.params)
+        import optax
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(step=self.step + 1, params=new_params,
+                            batch_stats=new_batch_stats,
+                            opt_state=new_opt_state)
+
+
+@dataclasses.dataclass
+class Trainer:
+    """End-to-end trainer for one zoo model on a DeviceDataset.
+
+    Parity with the reference recipe (train.py:22-75): per-model optimizer
+    and label smoothing come from the registry; validation runs a
+    confusion sweep each epoch that feeds ReduceLROnPlateau and
+    best-checkpointing.
+    """
+
+    model_name: str
+    settings: ModelSettings
+    dataset: DeviceDataset
+    augment: AugmentConfig = AugmentConfig()
+    batch_size: int = 384
+    seed: int = 0
+    mesh: Optional[Any] = None
+    filter_mult: int = 1
+
+    def __post_init__(self):
+        if self.mesh is None:
+            self.mesh = make_mesh()
+        s = self.settings
+        self.module, self.spec = build_model(
+            self.model_name, num_classes=s.label_count,
+            spectrogram_length=s.spectrogram_length,
+            num_log_mel_features=s.num_log_mel_features,
+            spectrogram_frequencies=s.spectrogram_frequencies,
+            desired_samples=s.desired_samples,
+            window_size_samples=s.window_size_samples,
+            window_stride_samples=s.window_stride_samples)
+        self.frontend = Frontend(s)
+        self.representation = self.spec.representation
+        self._jit_train_step = jax.jit(self._train_step, donate_argnums=0)
+        self._jit_eval_step = jax.jit(self._eval_step)
+
+    # -- setup ------------------------------------------------------------
+
+    def _features(self, wav: jax.Array):
+        return self.frontend.features(wav, self.representation)
+
+    def init_state(self) -> TrainState:
+        key = jax.random.PRNGKey(self.seed)
+        wav = jnp.zeros((2, self.settings.desired_samples), jnp.float32)
+        x = self._features(wav)
+        variables = self.module.init(
+            {"params": key, "dropout": key}, x, train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", core.freeze({}))
+        tx = build_optimizer(self.spec.optimizer, self.spec.learning_rate,
+                             self.spec.momentum)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=tx.init(params),
+            apply_fn=self.module.apply,
+            tx=tx)
+        # replicate across the mesh
+        replicated = NamedSharding(self.mesh, P())
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, replicated)
+            if isinstance(a, jax.Array) else a, state)
+
+    # -- steps ------------------------------------------------------------
+
+    def _forward_batch(self, params, batch_stats, x, train, dropout_key):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        if train:
+            mutable = ["batch_stats"] if batch_stats else []
+            out = self.apply_or_call(variables, x, True,
+                                     {"dropout": dropout_key}, mutable)
+            if mutable:
+                logits, updated = out
+                return logits, updated["batch_stats"]
+            return out, batch_stats
+        logits = self.apply_or_call(variables, x, False, None, [])
+        return logits, batch_stats
+
+    def apply_or_call(self, variables, x, train, rngs, mutable):
+        kwargs = dict(train=train)
+        if rngs:
+            kwargs["rngs"] = rngs
+        if mutable:
+            kwargs["mutable"] = mutable
+        return self.module.apply(variables, x, **kwargs)
+
+    def _train_step(self, state: TrainState, key: jax.Array):
+        ds = self.dataset
+        k_sample, k_aug, k_drop = jax.random.split(key, 3)
+        fids, labels, silence = ds.sample_train_ids(
+            k_sample, self.batch_size, self.augment.pseudo_frequency)
+        fids, labels, silence = constrain_batch(
+            (fids, labels, silence), self.mesh)
+        wav = ds.decode(fids)
+        wav = augment_batch(k_aug, wav, silence, self.augment,
+                            background=ds.background, training=True)
+        x = self._features(wav)
+        x = constrain_batch(x, self.mesh)
+
+        def loss_fn(params):
+            logits, new_stats = self._forward_batch(
+                params, state.batch_stats, x, True, k_drop)
+            loss = smooth_cross_entropy(logits, labels,
+                                        self.spec.label_smoothing)
+            loss = loss + l2_kernel_penalty(params, self.spec.l2_reg)
+            return loss, (logits, new_stats)
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, new_stats)
+        acc = (logits.argmax(-1) == labels).mean()
+        return new_state, {"loss": loss, "categorical_accuracy": acc}
+
+    def _eval_step(self, state: TrainState, fids, labels, silence):
+        wav = self.dataset.decode(fids)
+        wav = augment_batch(jax.random.PRNGKey(0), wav, silence,
+                            self.augment.eval_variant(),
+                            background=None, training=False)
+        x = self._features(wav)
+        logits, _ = self._forward_batch(state.params, state.batch_stats,
+                                        x, False, None)
+        conf = M.confusion_matrix(labels, logits.argmax(-1),
+                                  self.settings.label_count)
+        loss_sum = -jnp.take_along_axis(
+            jax.nn.log_softmax(logits), labels[:, None], axis=1).sum()
+        return conf, loss_sum
+
+    # -- public API --------------------------------------------------------
+
+    def train_step(self, state: TrainState, key: jax.Array):
+        return self._jit_train_step(state, key)
+
+    def evaluate(self, state: TrainState, mode: str = "validation",
+                 ) -> Tuple[np.ndarray, float]:
+        """Deterministic sweep; returns (confusion matrix, mean log loss).
+
+        Like the reference, trailing samples beyond a full batch are
+        dropped (steps = set_size // batch_size, train.py:58,70).
+        """
+        ds = self.dataset
+        steps = ds.set_size(mode) // self.batch_size
+        conf = np.zeros((self.settings.label_count,
+                         self.settings.label_count), np.int64)
+        loss_sum, n = 0.0, 0
+        for i in range(steps):
+            fids, labels, silence = ds.eval_ids(
+                mode, i * self.batch_size, self.batch_size)
+            c, ls = self._jit_eval_step(state, fids, labels, silence)
+            conf += np.asarray(c, np.int64)
+            loss_sum += float(ls)
+            n += self.batch_size
+        return conf, loss_sum / max(n, 1)
+
+    def fit(self, state: TrainState, epochs: int,
+            steps_per_epoch: Optional[int] = None,
+            callbacks: Iterable[Any] = (),
+            log_every: int = 0) -> Tuple[TrainState, Dict[str, list]]:
+        """Epoch loop with per-epoch validation metrics.
+
+        ``callbacks`` receive ``on_epoch_end(epoch, state, logs)`` and may
+        return a new state (e.g. LR controller).
+        """
+        if steps_per_epoch is None:
+            steps_per_epoch = max(
+                1, self.dataset.set_size("training") // self.batch_size)
+        history: Dict[str, list] = {}
+        base_key = jax.random.PRNGKey(self.seed + 1)
+        for epoch in range(epochs):
+            t0 = time.time()
+            running = {}
+            for step in range(steps_per_epoch):
+                key = jax.random.fold_in(
+                    base_key, epoch * steps_per_epoch + step)
+                state, metrics = self.train_step(state, key)
+                if log_every and (step + 1) % log_every == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    print(f"  step {step + 1}/{steps_per_epoch}: {m}")
+                running = metrics
+            train_time = time.time() - t0
+            logs = {k: float(v) for k, v in running.items()}
+            logs["epoch_time_s"] = train_time
+            logs["clips_per_sec"] = (
+                steps_per_epoch * self.batch_size / train_time)
+            conf, val_loss = self.evaluate(state)
+            logs["val_loss"] = val_loss
+            logs["val_categorical_accuracy"] = M.accuracy(conf)
+            logs["confusion"] = conf
+            for cb in callbacks:
+                result = cb.on_epoch_end(epoch, state, logs)
+                if isinstance(result, TrainState):
+                    state = result
+            for k, v in logs.items():
+                history.setdefault(k, []).append(v)
+        return state, history

@@ -1,0 +1,139 @@
+"""Training loop: loss/optim parity, smoke train on synthetic data,
+DP sharding on the 8-device CPU mesh, checkpoint roundtrip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speech_recognition_tpu.config import (
+    AugmentConfig, prepare_model_settings,
+)
+from speech_recognition_tpu.data.device_bank import synthetic_device_dataset
+from speech_recognition_tpu.parallel.mesh import make_mesh
+from speech_recognition_tpu.train.loop import Trainer
+from speech_recognition_tpu.train.optim import (
+    ReduceLROnPlateau, build_optimizer, get_learning_rate,
+    set_learning_rate, smooth_cross_entropy,
+)
+from speech_recognition_tpu.train import metrics as M
+
+
+def test_smooth_cross_entropy_values():
+    logits = jnp.array([[10.0, 0.0, 0.0], [0.0, 10.0, 0.0]])
+    labels = jnp.array([0, 1])
+    assert float(smooth_cross_entropy(logits, labels)) < 1e-3
+    smoothed = float(smooth_cross_entropy(logits, labels, 0.1))
+    # smoothing floor: -(0.9*log p_t + sum over others 0.033*log p)
+    assert smoothed > 0.3
+
+
+def test_optimizer_lr_injection():
+    tx = build_optimizer("rmsprop", 1e-3)
+    params = {"w": jnp.ones((3,))}
+    opt_state = tx.init(params)
+    assert abs(get_learning_rate(opt_state) - 1e-3) < 1e-9
+    opt_state = set_learning_rate(opt_state, 5e-4)
+    assert abs(get_learning_rate(opt_state) - 5e-4) < 1e-9
+    # updates still apply with the new lr
+    grads = {"w": jnp.ones((3,))}
+    updates, _ = tx.update(grads, opt_state, params)
+    assert np.isfinite(np.asarray(updates["w"])).all()
+
+
+def test_reduce_lr_on_plateau():
+    ctrl = ReduceLROnPlateau(factor=0.5, patience=2, min_lr=1e-5,
+                             verbose=False)
+    lr = 1e-3
+    lr = ctrl.update(0.5, lr)   # best
+    lr = ctrl.update(0.5, lr)   # wait 1
+    assert lr == 1e-3
+    lr = ctrl.update(0.5, lr)   # wait 2 -> reduce
+    assert lr == 5e-4
+    lr = ctrl.update(0.9, lr)   # improvement resets
+    assert lr == 5e-4
+
+
+def test_confusion_helpers():
+    labels = jnp.array([0, 1, 2, 2, 1])
+    preds = jnp.array([0, 2, 2, 2, 1])
+    conf = np.asarray(M.confusion_matrix(labels, preds, 3))
+    assert conf.sum() == 5
+    assert conf[2, 2] == 2 and conf[1, 2] == 1
+    assert abs(M.accuracy(conf) - 0.8) < 1e-9
+    accs = M.per_class_accuracies(conf)
+    assert accs[0] == 1.0 and accs[2] == 1.0 and accs[1] == 0.5
+
+
+def test_collapse_to_wanted():
+    int2label = {0: "_silence_", 1: "_unknown_", 2: "stop", 3: "cat"}
+    conf = np.eye(4, dtype=np.int64)
+    wanted = ["_silence_", "_unknown_", "stop"]
+    out = M.collapse_to_wanted(conf, int2label, wanted)
+    assert out.shape == (3, 3)
+    assert out[1, 1] == 2  # cat merged into unknown
+
+
+def _tiny_trainer(model_name="conv_2d_fast", batch=16):
+    settings = prepare_model_settings(
+        label_count=12, window_size_ms=30.0, window_stride_ms=10.0,
+        dct_coefficient_count=80, num_log_mel_features=40,
+        output_representation="mfcc")
+    ds = synthetic_device_dataset(num_train=64, num_val=32, num_pseudo=8)
+    aug = AugmentConfig(pseudo_frequency=0.25)
+    return Trainer(model_name=model_name, settings=settings, dataset=ds,
+                   augment=aug, batch_size=batch, mesh=make_mesh())
+
+
+def test_train_step_runs_and_learns_shape():
+    trainer = _tiny_trainer()
+    state = trainer.init_state()
+    key = jax.random.PRNGKey(0)
+    state, metrics = trainer.train_step(state, key)
+    assert int(state.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+    assert 0.0 <= float(metrics["categorical_accuracy"]) <= 1.0
+    # loss decreases over a few steps on random-but-fixed data
+    losses = [float(metrics["loss"])]
+    for i in range(5):
+        state, metrics = trainer.train_step(
+            state, jax.random.fold_in(key, i))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+
+
+def test_eval_and_fit_epoch():
+    trainer = _tiny_trainer()
+    state = trainer.init_state()
+    conf, val_loss = trainer.evaluate(state)
+    assert conf.sum() == 32  # 2 batches of 16
+    assert np.isfinite(val_loss)
+    state, history = trainer.fit(state, epochs=1, steps_per_epoch=2)
+    assert len(history["val_categorical_accuracy"]) == 1
+    assert history["clips_per_sec"][0] > 0
+
+
+def test_batch_sharded_over_mesh():
+    # the step must produce sharded intermediates: verify via output
+    # commitment that the jitted step runs under the 8-device mesh and
+    # the state stays replicated
+    trainer = _tiny_trainer(batch=16)
+    state = trainer.init_state()
+    state, _ = trainer.train_step(state, jax.random.PRNGKey(1))
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert len(leaf.sharding.device_set) == 8  # replicated over all devices
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from speech_recognition_tpu.train.checkpoint import (
+        restore_checkpoint, save_checkpoint)
+    trainer = _tiny_trainer()
+    state = trainer.init_state()
+    state, _ = trainer.train_step(state, jax.random.PRNGKey(0))
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state)
+    fresh = trainer.init_state()
+    restored = restore_checkpoint(path, fresh)
+    assert int(restored.step) == int(state.step)
+    a = jax.tree_util.tree_leaves(state.params)[0]
+    b = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
