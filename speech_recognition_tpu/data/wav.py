@@ -148,7 +148,13 @@ def _native_lib():
     try:
         import ctypes
         here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        path = os.path.join(here, "native", "libwavio.so")
+        native_dir = os.path.join(here, "native")
+        path = os.path.join(native_dir, "libwavio.so")
+        if not os.path.exists(path):
+            # lazy one-shot build; silently fall back to numpy on failure
+            import subprocess
+            subprocess.run(["make", "-C", native_dir], capture_output=True,
+                           timeout=120, check=False)
         if not os.path.exists(path):
             return None
         lib = ctypes.CDLL(path)

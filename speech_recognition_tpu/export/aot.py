@@ -1,0 +1,98 @@
+"""AOT export — the freeze_graph replacement.
+
+The reference freezes Keras graphs into .pb files exposing
+``decoded_sample_data:0`` ([16000, 1] f32) -> ``labels_softmax:0``
+(freeze_graph.py:64-77). Here the same logical contract is an AOT-
+serialized StableHLO artifact via ``jax.export``: a function from a
+decoded waveform [16000] f32 to the class-probability vector. WAV
+decoding lives in the host codec (data/wav.py), exactly like the
+competition harness fed decoded PCM.
+
+The 32->12 mapping head (freeze_graph_32_classes.py:49-78) — silence
+kept, unknown = **max** (not sum) over the 21 unknown-class probs,
+re-softmaxed — is available as a composable wrapper.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jax_export
+
+from speech_recognition_tpu.labels import get_classes, prepare_words_list
+
+
+def map_32_to_12_probs(all_probs: jax.Array,
+                       extend_reversed: bool = False) -> jax.Array:
+    """[... , 32/49] probs -> [..., 12] via max-unknown + re-softmax
+    (freeze_graph_32_classes.py:55-69)."""
+    wanted = get_classes(wanted_only=True)
+    all_classes = get_classes(wanted_only=False,
+                              extend_reversed=extend_reversed)
+    wanted_idx: List[int] = []
+    unknown_idx: List[int] = [1]  # _unknown_
+    for i, c in enumerate(all_classes):
+        (wanted_idx if c in wanted else unknown_idx).append(i + 2)
+    silence = all_probs[..., 0:1]
+    unknown = jnp.max(all_probs[..., jnp.asarray(unknown_idx)],
+                      axis=-1, keepdims=True)
+    words = all_probs[..., jnp.asarray(wanted_idx)]
+    mapped = jnp.concatenate([silence, unknown, words], axis=-1)
+    return jax.nn.softmax(mapped, axis=-1)
+
+
+def make_inference_fn(module, frontend, representation: str,
+                      map_to_12: bool = False,
+                      extend_reversed: bool = False) -> Callable:
+    """Waveform [B, T] -> probabilities [B, C] closure over variables."""
+
+    def infer(variables, wav):
+        x = frontend.features(wav, representation)
+        logits = module.apply(variables, x, train=False)
+        probs = jax.nn.softmax(logits, axis=-1)
+        if map_to_12:
+            probs = map_32_to_12_probs(probs,
+                                       extend_reversed=extend_reversed)
+        return probs
+
+    return infer
+
+
+def export_inference(module, frontend, representation: str,
+                     variables, desired_samples: int = 16000,
+                     batch_size: int = 1,
+                     map_to_12: bool = False,
+                     extend_reversed: bool = False) -> bytes:
+    """Serialize the inference program (weights baked in as constants,
+    like convert_variables_to_constants, freeze_graph.py:79-81)."""
+    infer = make_inference_fn(module, frontend, representation,
+                              map_to_12, extend_reversed)
+    # close over the variables so they become embedded constants
+    frozen = jax.tree_util.tree_map(jax.numpy.asarray, variables)
+
+    def frozen_infer(wav):
+        return infer(frozen, wav)
+
+    exported = jax_export.export(jax.jit(frozen_infer))(
+        jax.ShapeDtypeStruct((batch_size, desired_samples), jnp.float32))
+    return exported.serialize()
+
+
+def save_exported(path: str, artifact: bytes) -> None:
+    with open(path, "wb") as f:
+        f.write(artifact)
+
+
+def load_exported(path_or_bytes) -> Callable:
+    """Load a serialized artifact; returns fn(wav [B, T]) -> probs."""
+    if isinstance(path_or_bytes, (str, os.PathLike)):
+        with open(path_or_bytes, "rb") as f:
+            data = f.read()
+    else:
+        data = path_or_bytes
+    exported = jax_export.deserialize(data)
+    return lambda wav: exported.call(wav)

@@ -1,0 +1,65 @@
+"""Benchmark harness (replaces the Pi `benchmark_model` binary,
+README.md:146-157): reports clips/sec and ms/step for the end-to-end
+train step (sample+augment+frontend+fwd/bwd+update) and for inference.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _block(tree):
+    jax.tree_util.tree_map(
+        lambda x: x.block_until_ready()
+        if isinstance(x, jax.Array) else x, tree)
+
+
+def benchmark_train(trainer, state, steps: int = 20,
+                    warmup: int = 3) -> Dict[str, float]:
+    """Steady-state training throughput on the current devices."""
+    key = jax.random.PRNGKey(123)
+    for i in range(warmup):
+        state, metrics = trainer.train_step(state, jax.random.fold_in(key, i))
+    _block(metrics)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, metrics = trainer.train_step(
+            state, jax.random.fold_in(key, warmup + i))
+    _block(metrics)
+    dt = time.perf_counter() - t0
+    clips = steps * trainer.batch_size
+    num_devices = len(jax.devices())
+    return {
+        "steps": steps,
+        "batch_size": trainer.batch_size,
+        "ms_per_step": 1000.0 * dt / steps,
+        "clips_per_sec": clips / dt,
+        "clips_per_sec_per_chip": clips / dt / num_devices,
+    }
+
+
+def benchmark_inference(predictor, variables, batch_size: int = 384,
+                        steps: int = 20, warmup: int = 3,
+                        desired_samples: int = 16000) -> Dict[str, float]:
+    import jax.numpy as jnp
+    wav = jnp.asarray(
+        np.random.default_rng(0).uniform(
+            -0.1, 0.1, (batch_size, desired_samples)).astype(np.float32))
+    for _ in range(warmup):
+        probs = predictor.predict(variables, wav)
+    probs.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        probs = predictor.predict(variables, wav)
+    probs.block_until_ready()
+    dt = time.perf_counter() - t0
+    clips = steps * batch_size
+    return {
+        "ms_per_batch": 1000.0 * dt / steps,
+        "clips_per_sec": clips / dt,
+        "ms_per_clip": 1000.0 * dt / clips,
+    }

@@ -1,0 +1,145 @@
+"""Inference/TTA, submission formats, pseudo-labels, voting, conversion."""
+
+import csv
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speech_recognition_tpu.config import prepare_model_settings
+from speech_recognition_tpu.infer.submission import (
+    AUDIO_NAMES, read_uint8_memmap, write_submission_csvs,
+    write_uint8_memmap,
+)
+from speech_recognition_tpu.infer.tta import Predictor, TTAConfig
+from speech_recognition_tpu.labels import get_int2label
+from speech_recognition_tpu.models import build_model
+from speech_recognition_tpu.tools.convert import (
+    convert_32_to_12, softmax,
+)
+from speech_recognition_tpu.tools.pseudo import (
+    pseudo_by_agreement, read_submission_csv,
+)
+from speech_recognition_tpu.tools.vote import majority_vote
+
+
+SETTINGS = prepare_model_settings(
+    label_count=12, window_size_ms=30.0, window_stride_ms=10.0,
+    dct_coefficient_count=80, num_log_mel_features=40,
+    output_representation="mfcc")
+
+
+def _predictor(tta=TTAConfig()):
+    module, spec = build_model("conv_2d_fast", num_classes=12,
+                               spectrogram_length=98,
+                               num_log_mel_features=40)
+    wav = jnp.zeros((2, 16000))
+    pred = Predictor(module, SETTINGS, "mfcc", tta)
+    x = pred.frontend.features(wav, "mfcc")
+    variables = module.init({"params": jax.random.PRNGKey(0)}, x,
+                            train=False)
+    return pred, variables
+
+
+def test_predictor_probs_sum_to_one():
+    pred, variables = _predictor(TTAConfig(use_tta=False))
+    wav = jnp.asarray(np.random.default_rng(0).uniform(
+        -0.2, 0.2, (4, 16000)).astype(np.float32))
+    probs = np.asarray(pred.predict(variables, wav))
+    assert probs.shape == (4, 12)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+
+
+def test_tta_is_mean_of_variants():
+    tta = TTAConfig(use_tta=True)
+    pred, variables = _predictor(tta)
+    wav = jnp.asarray(np.random.default_rng(1).uniform(
+        -0.2, 0.2, (3, 16000)).astype(np.float32))
+    got = np.asarray(pred.predict(variables, wav))
+    # manual average of the three variants (make_submission.py:142-144)
+    p0 = np.asarray(pred._jit_probs(variables, wav))
+    p1 = np.asarray(pred._jit_probs(variables,
+                                    jnp.roll(wav, -1500, axis=1)))
+    p2 = np.asarray(pred._jit_probs(variables, 1.2 * wav))
+    np.testing.assert_allclose(got, (p0 + p1 + p2) / 3, atol=1e-5)
+
+
+def test_submission_csvs_and_memmap(tmp_path):
+    int2label = get_int2label(wanted_only=True)
+    basenames = ["a.wav", "b.wav", "c.wav"]
+    probs = np.zeros((3, 12), np.float32)
+    probs[0, 0] = 1.0   # silence
+    probs[1, 1] = 1.0   # unknown
+    probs[2, 2] = 1.0   # stop
+    paths = write_submission_csvs(str(tmp_path / "sub"), basenames, probs,
+                                  int2label)
+    fnames, labels = read_submission_csv(paths["wanted"])
+    assert labels == ["silence", "unknown", "stop"]
+    mm_path = str(tmp_path / "p.memmap")
+    write_uint8_memmap(mm_path, probs)
+    assert os.path.getsize(mm_path) == 36
+    back = read_uint8_memmap(mm_path, 3, 12)
+    assert back.argmax(-1).tolist() == [0, 1, 2]
+
+
+def _write_sub(path, rows):
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["fname", "label"])
+        w.writerows(rows)
+
+
+def test_pseudo_by_agreement(tmp_path):
+    audio = tmp_path / "audio"
+    audio.mkdir()
+    for fn in ("x.wav", "y.wav"):
+        (audio / fn).write_bytes(b"RIFF0000WAVE")
+    subs = []
+    for i, labels in enumerate([("yes", "no"), ("yes", "go"),
+                                ("yes", "no")]):
+        p = str(tmp_path / f"s{i}.csv")
+        _write_sub(p, [("x.wav", labels[0]), ("y.wav", labels[1])])
+        subs.append(p)
+    out = str(tmp_path / "pseudo")
+    n = pseudo_by_agreement(subs, str(audio), out)
+    assert n == 1  # only x.wav agrees 3-way
+    assert os.path.exists(os.path.join(out, "yes", "x.wav"))
+
+
+def test_majority_vote(tmp_path):
+    subs = []
+    votes = [("stop", "go"), ("stop", "no"), ("stop", "go"),
+             ("down", "up"), ("stop", "yes")]
+    for i, (a, b) in enumerate(votes):
+        p = str(tmp_path / f"v{i}.csv")
+        _write_sub(p, [("x.wav", a), ("y.wav", b)])
+        subs.append(p)
+    out = str(tmp_path / "vote.csv")
+    clear, total = majority_vote(subs, out, min_count=3)
+    assert total == 2 and clear == 1  # x clear (4x stop), y split
+    fnames, labels = read_submission_csv(out)
+    assert labels[0] == "stop"
+    assert labels[1] == "go"  # tie-break: first (best) submission
+
+
+def test_convert_32_to_12():
+    from speech_recognition_tpu.labels import (
+        get_classes, prepare_words_list)
+    words = prepare_words_list(get_classes(wanted_only=False))
+    assert len(words) == 32
+    rng = np.random.default_rng(0)
+    probs = softmax(rng.standard_normal((5, 32)).astype(np.float32))
+    mapped = convert_32_to_12(probs)
+    assert mapped.shape == (5, 12)
+    np.testing.assert_allclose(mapped.sum(-1), 1.0, atol=1e-5)
+    # a clip that is pure 'stop' maps to the stop column
+    pure = np.zeros((1, 32), np.float32)
+    pure[0, words.index("stop")] = 1.0
+    m = convert_32_to_12(pure)
+    assert AUDIO_NAMES[m.argmax()] == "stop"
+    # a clip that is pure 'sheila' (not wanted) maps to unknown
+    pure = np.zeros((1, 32), np.float32)
+    pure[0, words.index("sheila")] = 1.0
+    m = convert_32_to_12(pure)
+    assert AUDIO_NAMES[m.argmax()] == "unknown"
