@@ -64,9 +64,13 @@ class DeviceDataset:
                 / INT16_DECODE_SCALE)
 
     def sample_train_ids(self, key: jax.Array, batch_size: int,
-                         pseudo_frequency: float = 0.0,
+                         pseudo_frequency=0.0,
                          ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-        """Random (file_ids, labels, is_silence) for a training batch."""
+        """Random (file_ids, labels, is_silence) for a training batch.
+
+        ``pseudo_frequency`` may be a traced scalar so epoch schedules
+        (utils.py:41-49) don't trigger recompiles.
+        """
         train = self.partitions["training"]
         pseudo = self.partitions.get("pseudo")
         k_u, k_c, k_p = jax.random.split(key, 3)
@@ -74,7 +78,7 @@ class DeviceDataset:
         file_ids = train.file_ids[idx_c]
         labels = train.labels[idx_c]
         silence = train.is_silence[idx_c]
-        if pseudo is not None and pseudo.size > 0 and pseudo_frequency > 0.0:
+        if pseudo is not None and pseudo.size > 0:
             use_pseudo = jax.random.uniform(k_u, (batch_size,)) \
                 < pseudo_frequency
             idx_p = jax.random.randint(k_p, (batch_size,), 0, pseudo.size)

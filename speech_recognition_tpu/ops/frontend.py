@@ -184,6 +184,49 @@ class Frontend:
                           preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.HIGHEST)
 
+    @functools.cached_property
+    def _legacy_constants(self):
+        """Tutorial-era MFCC pipeline constants (audio.py:6-28 compat).
+
+        The reference's second MFCC path uses the legacy
+        ``contrib_audio.audio_spectrogram(magnitude_squared=True)`` +
+        ``contrib_audio.mfcc`` ops: 40 mel channels over 20-4000 Hz, log
+        floored at 1e-12, DCT-II scaled by sqrt(2/N). The mel filterbank
+        here reuses the tf.signal triangle construction (the legacy C++
+        kernel's linear-interpolation weighting differs at the band edges
+        by <1%% — documented approximation).
+        """
+        s = self.settings
+        window = hann_window_periodic(s.window_size_samples)
+        cos_b, sin_b = dft_bases(s.window_size_samples, s.fft_length, window)
+        mel = linear_to_mel_weight_matrix(
+            40, s.fft_length // 2 + 1, s.sample_rate, 20.0, 4000.0)
+        n = np.arange(40, dtype=np.float64)[:, None]
+        k = np.arange(40, dtype=np.float64)[None, :]
+        dct = (np.cos(np.pi * k * (2.0 * n + 1.0) / 80.0)
+               * np.sqrt(2.0 / 40.0)).astype(np.float32)
+        return dict(cos_b=cos_b, sin_b=sin_b, mel=mel, dct=dct)
+
+    def legacy_mfcc(self, wav: jax.Array,
+                    dct_coefficient_count: int = 40) -> jax.Array:
+        """Legacy/tutorial MFCC (parity target: audio.py AudioConverter)."""
+        c = self._legacy_constants
+        frames = wav[..., jnp.asarray(self._constants["idx"])]
+        re = jnp.matmul(frames, jnp.asarray(c["cos_b"]),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        im = jnp.matmul(frames, jnp.asarray(c["sin_b"]),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        power = re * re + im * im  # magnitude_squared=True (audio.py:19)
+        mel = jnp.matmul(power, jnp.asarray(c["mel"]),
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        logmel = jnp.log(jnp.maximum(mel, 1e-12))
+        dct = jnp.asarray(c["dct"][:, :dct_coefficient_count])
+        return jnp.matmul(logmel, dct, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+
     def features(self, wav: jax.Array, representation: Optional[str] = None):
         """Dispatch on output representation, flattened like the reference.
 

@@ -146,11 +146,12 @@ class Trainer:
             kwargs["mutable"] = mutable
         return self.module.apply(variables, x, **kwargs)
 
-    def _train_step(self, state: TrainState, key: jax.Array):
+    def _train_step(self, state: TrainState, key: jax.Array,
+                    pseudo_frequency: jax.Array):
         ds = self.dataset
         k_sample, k_aug, k_drop = jax.random.split(key, 3)
         fids, labels, silence = ds.sample_train_ids(
-            k_sample, self.batch_size, self.augment.pseudo_frequency)
+            k_sample, self.batch_size, pseudo_frequency)
         fids, labels, silence = constrain_batch(
             (fids, labels, silence), self.mesh)
         wav = ds.decode(fids)
@@ -189,8 +190,12 @@ class Trainer:
 
     # -- public API --------------------------------------------------------
 
-    def train_step(self, state: TrainState, key: jax.Array):
-        return self._jit_train_step(state, key)
+    def train_step(self, state: TrainState, key: jax.Array,
+                   pseudo_frequency: Optional[float] = None):
+        if pseudo_frequency is None:
+            pseudo_frequency = self.augment.pseudo_frequency
+        return self._jit_train_step(
+            state, key, jnp.asarray(pseudo_frequency, jnp.float32))
 
     def evaluate(self, state: TrainState, mode: str = "validation",
                  ) -> Tuple[np.ndarray, float]:
@@ -216,11 +221,15 @@ class Trainer:
     def fit(self, state: TrainState, epochs: int,
             steps_per_epoch: Optional[int] = None,
             callbacks: Iterable[Any] = (),
+            pseudo_schedule: Optional[Callable[[int], float]] = None,
             log_every: int = 0) -> Tuple[TrainState, Dict[str, list]]:
         """Epoch loop with per-epoch validation metrics.
 
         ``callbacks`` receive ``on_epoch_end(epoch, state, logs)`` and may
-        return a new state (e.g. LR controller).
+        return a new state (e.g. LR controller). ``pseudo_schedule`` maps
+        epoch -> pseudo_frequency (the reference sketched one at
+        utils.py:41-49; see ``reference_pseudo_schedule``) without
+        recompiling — the frequency is a traced scalar.
         """
         if steps_per_epoch is None:
             steps_per_epoch = max(
@@ -230,10 +239,12 @@ class Trainer:
         for epoch in range(epochs):
             t0 = time.time()
             running = {}
+            pf = (pseudo_schedule(epoch) if pseudo_schedule
+                  else self.augment.pseudo_frequency)
             for step in range(steps_per_epoch):
                 key = jax.random.fold_in(
                     base_key, epoch * steps_per_epoch + step)
-                state, metrics = self.train_step(state, key)
+                state, metrics = self.train_step(state, key, pf)
                 if log_every and (step + 1) % log_every == 0:
                     m = {k: float(v) for k, v in metrics.items()}
                     print(f"  step {step + 1}/{steps_per_epoch}: {m}")
@@ -254,3 +265,16 @@ class Trainer:
             for k, v in logs.items():
                 history.setdefault(k, []).append(v)
         return state, history
+
+
+def reference_pseudo_schedule(epoch: int) -> float:
+    """The pseudo-ratio schedule sketched in the reference
+    (utils.py:41-49), promoted to a real feature: heavy pseudo mixing
+    early, tapering as the model matures."""
+    if epoch <= 20:
+        return 1.0
+    if epoch <= 30:
+        return 0.7
+    if epoch <= 40:
+        return 0.4
+    return 0.2
