@@ -22,6 +22,15 @@ K80_BASELINE_CLIPS_PER_SEC = 450.0
 
 def main():
     import jax
+    # persistent compile cache: the train-step program is large and the
+    # bench host may have few cores; cache across runs
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     from speech_recognition_tpu.config import (
         AugmentConfig, prepare_model_settings,
     )

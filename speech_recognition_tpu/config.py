@@ -138,3 +138,20 @@ class AugmentConfig:
 
 
 TRAIN_AUGMENT_DEFAULTS = AugmentConfig()
+
+
+def get_legacy_settings() -> ModelSettings:
+    """Frozen tutorial-era inference settings (parity: settings.py:1-11):
+    40 DCT coefficients, 98 frames, 4 labels, 480/160 windows."""
+    return ModelSettings(
+        label_count=4,
+        sample_rate=16000,
+        desired_samples=16000,
+        window_size_samples=480,
+        window_stride_samples=160,
+        spectrogram_length=98,
+        dct_coefficient_count=40,
+        num_log_mel_features=40,
+        output_representation="mfcc",
+        fingerprint_size=3920,
+    )

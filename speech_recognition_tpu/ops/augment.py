@@ -71,32 +71,41 @@ def roll_batch(wav: jax.Array, shifts: jax.Array) -> jax.Array:
     out[b, i] = wav[b, (i - shifts[b]) % T] — the jit-able answer to the
     reference's ``TODO(see--): Write test with np.roll`` (input_data.py:345).
 
-    Implemented as a doubled-row contiguous dynamic slice instead of an
-    elementwise modular gather: TPU executes contiguous slices as DMAs
-    (~4x faster than the gather formulation at batch 384 x 16000).
+    A per-row modular gather: cheap on TPU (~0.14 ms at 384 x 16000)
+    because the index pattern is a row permutation along the minor axis.
+    (A vmapped dynamic-slice variant measures 4x faster standalone but
+    inflates XLA compile time of the full train program by minutes —
+    not worth it at this cost level.)
     """
     t = wav.shape[-1]
-    doubled = jnp.concatenate([wav, wav], axis=-1)
-    starts = (-shifts) % t
-    return jax.vmap(
-        lambda row, s: jax.lax.dynamic_slice(row, (s,), (t,)))(
-            doubled, starts)
+    idx = (jnp.arange(t)[None, :] - shifts[:, None]) % t
+    return jnp.take_along_axis(wav, idx, axis=-1)
 
 
-def sample_background(key: jax.Array, bank: BackgroundBank,
-                      batch_size: int, num_samples: int) -> jax.Array:
-    """Random [batch, num_samples] crops from the background bank.
+def sample_background_positions(key: jax.Array, bank: BackgroundBank,
+                                batch_size: int,
+                                num_samples: int) -> jax.Array:
+    """Random crop start positions into the flat bank.
 
     Parity: input_data.py:481-487 (uniform clip choice, uniform offset in
-    [0, len - num_samples)). Crops are contiguous dynamic slices from the
-    flat bank — 20x faster on TPU than the [B, T] elementwise gather.
+    [0, len - num_samples)).
     """
     k_clip, k_off = jax.random.split(key)
     clip_idx = jax.random.randint(k_clip, (batch_size,), 0, bank.num_clips)
     max_off = (bank.lengths[clip_idx] - num_samples).astype(jnp.float32)
     u = jax.random.uniform(k_off, (batch_size,))
     offsets = jnp.floor(u * max_off).astype(jnp.int32)
-    pos = bank.starts[clip_idx] + offsets
+    return bank.starts[clip_idx] + offsets
+
+
+def sample_background(key: jax.Array, bank: BackgroundBank,
+                      batch_size: int, num_samples: int) -> jax.Array:
+    """Random [batch, num_samples] crops from the background bank.
+
+    Crops are contiguous dynamic slices from the flat bank — 20x faster
+    on TPU than the [B, T] elementwise gather formulation.
+    """
+    pos = sample_background_positions(key, bank, batch_size, num_samples)
     flat = bank.flat
     return jax.vmap(
         lambda p: jax.lax.dynamic_slice(flat, (p,), (num_samples,)))(pos)
@@ -144,6 +153,72 @@ def draw_volumes(key: jax.Array, is_silence: jax.Array,
     return fg_vol, bg_vol
 
 
+def draw_augment_params(key: jax.Array, is_silence: jax.Array,
+                        cfg: AugmentConfig,
+                        background: Optional[BackgroundBank],
+                        batch: int, num_samples: int,
+                        ) -> Tuple[jax.Array, jax.Array, jax.Array,
+                                   jax.Array]:
+    """All per-sample augmentation draws: (shifts, fg_vol, bg_pos, bg_vol).
+
+    Shared by the jnp path and the Pallas fused kernel so both have
+    identical distributions. ``bg_pos`` is zeros when no background bank.
+    """
+    k_shift_p, k_shift, k_bg, k_vol = jax.random.split(key, 4)
+    lo, hi = cfg.time_shift_range
+    if cfg.time_shift_frequency > 0.0 and (lo, hi) != (0, 0):
+        do_shift = jax.random.uniform(k_shift_p, (batch,)) \
+            < cfg.time_shift_frequency
+        shift = jax.random.randint(k_shift, (batch,), lo, hi + 1)
+        shift = jnp.where(do_shift, shift, 0)
+    else:
+        shift = jnp.zeros((batch,), jnp.int32)
+    use_background = background is not None
+    fg_vol, bg_vol = draw_volumes(k_vol, is_silence, cfg, batch,
+                                  use_background)
+    if use_background:
+        bg_pos = sample_background_positions(k_bg, background, batch,
+                                             num_samples)
+    else:
+        bg_pos = jnp.zeros((batch,), jnp.int32)
+    return shift, fg_vol, bg_pos, bg_vol
+
+
+def rolled_decode_augment(bank2_flat: jax.Array,
+                          background: Optional[BackgroundBank],
+                          file_ids: jax.Array, shifts: jax.Array,
+                          fg_vol: jax.Array, bg_pos: jax.Array,
+                          bg_vol: jax.Array,
+                          num_samples: int) -> jax.Array:
+    """Gather + int16 decode + circular roll + background mix, TPU-fast.
+
+    Key insight: with the clip bank stored doubled along time
+    (ops/pallas/augment_kernel.double_bank), ``roll(bank[f], s)`` is the
+    contiguous window at ``f*stride + ((-s) mod T)`` — one vmapped
+    dynamic_slice (a gather of contiguous slices, which TPU executes as
+    DMAs) instead of the elementwise modular gather XLA otherwise
+    linearizes into a ~60 ms kernel at batch 384.
+    """
+    from speech_recognition_tpu.ops.pallas.augment_kernel import row_stride
+    t = num_samples
+    starts = ((-shifts) % t).astype(jnp.int32)
+    pos = file_ids.astype(jnp.int32) * row_stride(t) + starts
+
+    def slice_one(p):
+        return jax.lax.dynamic_slice(bank2_flat, (p,), (t,))
+
+    rows = jax.vmap(slice_one)(pos)
+    out = rows.astype(jnp.float32) * (fg_vol / 32768.0)[:, None]
+    if background is not None:
+        flat = background.flat
+
+        def bg_one(p):
+            return jax.lax.dynamic_slice(flat, (p,), (t,))
+
+        out = out + jax.vmap(bg_one)(bg_pos) * bg_vol[:, None]
+    return out
+
+
 def augment_batch(key: jax.Array,
                   wav: jax.Array,
                   is_silence: jax.Array,
@@ -170,21 +245,18 @@ def augment_batch(key: jax.Array,
         fg_vol = jnp.where(is_silence, 0.0, 1.0)
         return wav * fg_vol[:, None]
 
-    k_shift_p, k_shift, k_bg, k_vol = jax.random.split(key, 4)
-    lo, hi = cfg.time_shift_range
-    if cfg.time_shift_frequency > 0.0 and (lo, hi) != (0, 0):
-        do_shift = jax.random.uniform(k_shift_p, (batch,)) \
-            < cfg.time_shift_frequency
-        shift = jax.random.randint(k_shift, (batch,), lo, hi + 1)
-        shift = jnp.where(do_shift, shift, 0)
-    else:
-        shift = jnp.zeros((batch,), jnp.int32)
-
-    use_background = background is not None
-    fg_vol, bg_vol = draw_volumes(k_vol, is_silence, cfg, batch,
-                                  use_background)
-    out = roll_batch(wav * fg_vol[:, None], shift)
-    if use_background:
-        snippets = sample_background(k_bg, background, batch, num_samples)
+    shift, fg_vol, bg_pos, bg_vol = draw_augment_params(
+        key, is_silence, cfg, background, batch, num_samples)
+    scaled = wav * fg_vol[:, None]
+    # barrier: without it XLA fuses the decode-multiply into the roll
+    # gather and linearizes it into a 64-bit elementwise gather (~60 ms at
+    # 384x16000 vs 0.14 ms for the row-wise form)
+    scaled = jax.lax.optimization_barrier(scaled)
+    out = roll_batch(scaled, shift)
+    if background is not None:
+        flat = background.flat
+        snippets = jax.vmap(
+            lambda p: jax.lax.dynamic_slice(flat, (p,), (num_samples,)))(
+                bg_pos)
         out = out + snippets * bg_vol[:, None]
     return out

@@ -39,6 +39,17 @@ def overlapping_frames(x: jax.Array, ksize: int, stride: int,
     return x[..., jnp.asarray(idx)]
 
 
+def center_crop(data, desired_size: int = 16000):
+    """Center crop 1-D/2-D arrays to ``desired_size`` (utils.py:76-84)."""
+    if data.ndim == 1:
+        left = (data.shape[0] - desired_size) // 2
+        return data[left:left + desired_size]
+    if data.ndim == 2:
+        left = (data.shape[1] - desired_size) // 2
+        return data[:, left:left + desired_size]
+    raise ValueError(f"Invalid tensor shape: {list(data.shape)}")
+
+
 def time_slice_stack(x: jax.Array, step: int) -> jax.Array:
     """[B, T] -> [B, T//step, step] polyphase stack (model.py:55-62).
 

@@ -227,6 +227,14 @@ class Frontend:
         return jnp.matmul(logmel, dct, preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.HIGHEST)
 
+    def load_legacy_mfcc_file(self, filename: str) -> jax.Array:
+        """File -> tutorial MFCC [frames, 40] (parity: audio.py
+        AudioConverter.load — decode_wav + audio_spectrogram + mfcc)."""
+        from speech_recognition_tpu.data.wav import load_wav_file
+        wav = load_wav_file(filename,
+                            desired_samples=self.settings.desired_samples)
+        return self.legacy_mfcc(jnp.asarray(wav[None, :]))[0]
+
     def features(self, wav: jax.Array, representation: Optional[str] = None):
         """Dispatch on output representation, flattened like the reference.
 

@@ -75,10 +75,22 @@ class Trainer:
     seed: int = 0
     mesh: Optional[Any] = None
     filter_mult: int = 1
+    # Doubled-bank rolled decode: gather+decode+roll+mix as contiguous
+    # dynamic slices (see ops/augment.rolled_decode_augment). Pure XLA,
+    # shards over the batch, costs 2x int16 bank HBM. Default on.
+    use_fused_augment: Optional[bool] = None
 
     def __post_init__(self):
         if self.mesh is None:
             self.mesh = make_mesh()
+        if self.use_fused_augment is None:
+            self.use_fused_augment = True
+        self._bank2_flat = None
+        if self.use_fused_augment:
+            from speech_recognition_tpu.ops.pallas.augment_kernel import (
+                double_bank,
+            )
+            self._bank2_flat = jax.jit(double_bank)(self.dataset.wav_bank)
         s = self.settings
         self.module, self.spec = build_model(
             self.model_name, num_classes=s.label_count,
@@ -154,9 +166,21 @@ class Trainer:
             k_sample, self.batch_size, pseudo_frequency)
         fids, labels, silence = constrain_batch(
             (fids, labels, silence), self.mesh)
-        wav = ds.decode(fids)
-        wav = augment_batch(k_aug, wav, silence, self.augment,
-                            background=ds.background, training=True)
+        if self.use_fused_augment:
+            from speech_recognition_tpu.ops.augment import (
+                draw_augment_params, rolled_decode_augment,
+            )
+            t = ds.desired_samples
+            shift, fg_vol, bg_pos, bg_vol = draw_augment_params(
+                k_aug, silence, self.augment, ds.background,
+                self.batch_size, t)
+            wav = rolled_decode_augment(
+                self._bank2_flat, ds.background, fids, shift, fg_vol,
+                bg_pos, bg_vol, num_samples=t)
+        else:
+            wav = ds.decode(fids)
+            wav = augment_batch(k_aug, wav, silence, self.augment,
+                                background=ds.background, training=True)
         x = self._features(wav)
         x = constrain_batch(x, self.mesh)
 

@@ -1,0 +1,26 @@
+"""Host streaming prefetch loader."""
+
+import numpy as np
+
+from speech_recognition_tpu.data.prefetch import HostPrefetchLoader
+from speech_recognition_tpu.data.wav import save_wav_file
+
+
+def test_prefetch_loader_yields_batches(tmp_path):
+    paths = []
+    for i in range(10):
+        p = str(tmp_path / f"{i}.wav")
+        save_wav_file(p, np.full(100, (i + 1) / 20.0, np.float32), 16000)
+        paths.append(p)
+    labels = np.arange(10, dtype=np.int32) % 3
+    silence = labels == 0
+    with HostPrefetchLoader(paths, labels, silence, batch_size=4,
+                            desired_samples=200, seed=1) as loader:
+        for _ in range(3):
+            wav, lab, sil = next(loader)
+            assert wav.shape == (4, 200)
+            assert lab.shape == (4,) and sil.shape == (4,)
+            w = np.asarray(wav)
+            assert np.isfinite(w).all()
+            assert (np.abs(w[:, :100]) > 0).any()
+            assert (w[:, 100:] == 0).all()
