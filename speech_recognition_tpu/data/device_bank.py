@@ -21,6 +21,7 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import struct
 
 from speech_recognition_tpu.config import ModelSettings
 from speech_recognition_tpu.data.index import DatasetIndex
@@ -32,8 +33,7 @@ from speech_recognition_tpu.data.wav import (
 from speech_recognition_tpu.ops.augment import BackgroundBank
 
 
-@dataclasses.dataclass(frozen=True)
-class Partition:
+class Partition(struct.PyTreeNode):
     """Per-partition device arrays indexing into the shared wav bank."""
 
     file_ids: jax.Array    # [n] int32 -> row in wav bank
@@ -45,15 +45,18 @@ class Partition:
         return int(self.file_ids.shape[0])
 
 
-@dataclasses.dataclass(frozen=True)
-class DeviceDataset:
-    """Packed dataset living in device memory."""
+class DeviceDataset(struct.PyTreeNode):
+    """Packed dataset living in device memory.
+
+    A pytree node: pass it as a jit argument, never a closure capture —
+    the bank is hundreds of MB and would be embedded in the program.
+    """
 
     wav_bank: jax.Array                 # [num_files, T] int16
     partitions: Dict[str, Partition]
     background: Optional[BackgroundBank]
-    num_classes: int
-    desired_samples: int
+    num_classes: int = struct.field(pytree_node=False)
+    desired_samples: int = struct.field(pytree_node=False)
 
     def set_size(self, mode: str) -> int:
         return self.partitions[mode].size

@@ -33,14 +33,20 @@ import numpy as np
 from speech_recognition_tpu.config import AugmentConfig
 
 
-@dataclasses.dataclass(frozen=True)
-class BackgroundBank:
+from flax import struct
+
+
+class BackgroundBank(struct.PyTreeNode):
     """Flattened background-noise bank for random-crop gathers.
 
     ``flat`` concatenates every ``_background_noise_`` clip; ``starts`` and
     ``lengths`` delimit each clip. Clips shorter than ``min_length`` must be
     filtered out by the builder (the reference requires background files
     longer than one second, input_data.py:484-487).
+
+    A pytree node so it can be a jit *argument* — closure-captured banks
+    get embedded into the serialized program, which both bloats compiles
+    and breaks remote-compile size limits.
     """
 
     flat: jax.Array       # [total_samples] float32

@@ -159,8 +159,8 @@ class Trainer:
         return self.module.apply(variables, x, **kwargs)
 
     def _train_step(self, state: TrainState, key: jax.Array,
-                    pseudo_frequency: jax.Array):
-        ds = self.dataset
+                    pseudo_frequency: jax.Array, ds: DeviceDataset,
+                    bank2_flat):
         k_sample, k_aug, k_drop = jax.random.split(key, 3)
         fids, labels, silence = ds.sample_train_ids(
             k_sample, self.batch_size, pseudo_frequency)
@@ -175,7 +175,7 @@ class Trainer:
                 k_aug, silence, self.augment, ds.background,
                 self.batch_size, t)
             wav = rolled_decode_augment(
-                self._bank2_flat, ds.background, fids, shift, fg_vol,
+                bank2_flat, ds.background, fids, shift, fg_vol,
                 bg_pos, bg_vol, num_samples=t)
         else:
             wav = ds.decode(fids)
@@ -198,8 +198,9 @@ class Trainer:
         acc = (logits.argmax(-1) == labels).mean()
         return new_state, {"loss": loss, "categorical_accuracy": acc}
 
-    def _eval_step(self, state: TrainState, fids, labels, silence):
-        wav = self.dataset.decode(fids)
+    def _eval_step(self, state: TrainState, ds: DeviceDataset,
+                   fids, labels, silence):
+        wav = ds.decode(fids)
         wav = augment_batch(jax.random.PRNGKey(0), wav, silence,
                             self.augment.eval_variant(),
                             background=None, training=False)
@@ -219,7 +220,8 @@ class Trainer:
         if pseudo_frequency is None:
             pseudo_frequency = self.augment.pseudo_frequency
         return self._jit_train_step(
-            state, key, jnp.asarray(pseudo_frequency, jnp.float32))
+            state, key, jnp.asarray(pseudo_frequency, jnp.float32),
+            self.dataset, self._bank2_flat)
 
     def evaluate(self, state: TrainState, mode: str = "validation",
                  ) -> Tuple[np.ndarray, float]:
@@ -236,7 +238,7 @@ class Trainer:
         for i in range(steps):
             fids, labels, silence = ds.eval_ids(
                 mode, i * self.batch_size, self.batch_size)
-            c, ls = self._jit_eval_step(state, fids, labels, silence)
+            c, ls = self._jit_eval_step(state, ds, fids, labels, silence)
             conf += np.asarray(c, np.int64)
             loss_sum += float(ls)
             n += self.batch_size
