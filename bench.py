@@ -53,7 +53,7 @@ def main():
         augment=AugmentConfig(pseudo_frequency=0.6),
         batch_size=384)
     state = trainer.init_state()
-    result = benchmark_train(trainer, state, steps=20, warmup=5)
+    result = benchmark_train(trainer, state, steps=100, warmup=10)
     value = result["clips_per_sec"]
     print(json.dumps({
         "metric": "train_clips_per_sec",

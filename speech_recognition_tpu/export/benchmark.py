@@ -18,12 +18,20 @@ def _block(tree):
         if isinstance(x, jax.Array) else x, tree)
 
 
-def benchmark_train(trainer, state, steps: int = 20,
-                    warmup: int = 3) -> Dict[str, float]:
-    """Steady-state training throughput on the current devices."""
+def benchmark_train(trainer, state, steps: int = 100,
+                    warmup: int = 10) -> Dict[str, float]:
+    """Steady-state training throughput on the current devices.
+
+    Per-step dispatch with async pipelining (the same shape as the real
+    epoch loop); blocked on the final step's metrics so the full chain is
+    measured. (A lax.scan variant exists — Trainer.train_many — but XLA
+    currently lowers the data-path slice gathers pathologically inside
+    scan on this toolchain; tracked for the Pallas kernel.)
+    """
     key = jax.random.PRNGKey(123)
     for i in range(warmup):
-        state, metrics = trainer.train_step(state, jax.random.fold_in(key, i))
+        state, metrics = trainer.train_step(state,
+                                            jax.random.fold_in(key, i))
     _block(metrics)
     t0 = time.perf_counter()
     for i in range(steps):

@@ -103,6 +103,8 @@ class Trainer:
         self.frontend = Frontend(s)
         self.representation = self.spec.representation
         self._jit_train_step = jax.jit(self._train_step, donate_argnums=0)
+        self._jit_train_many = jax.jit(self._train_many, donate_argnums=0,
+                                       static_argnums=5)
         self._jit_eval_step = jax.jit(self._eval_step)
 
     # -- setup ------------------------------------------------------------
@@ -222,6 +224,35 @@ class Trainer:
         return self._jit_train_step(
             state, key, jnp.asarray(pseudo_frequency, jnp.float32),
             self.dataset, self._bank2_flat)
+
+    def _train_many(self, state: TrainState, key: jax.Array,
+                    pseudo_frequency: jax.Array, ds: DeviceDataset,
+                    bank2_flat, num_steps: int):
+        """num_steps train steps as ONE compiled lax.scan program.
+
+        Amortizes host dispatch (one launch per chunk instead of per
+        step) — the production inner loop; per-step metrics come back
+        stacked.
+        """
+        keys = jax.random.split(key, num_steps)
+
+        def body(state, step_key):
+            new_state, metrics = self._train_step(
+                state, step_key, pseudo_frequency, ds, bank2_flat)
+            return new_state, metrics
+
+        return jax.lax.scan(body, state, keys)
+
+    def train_many(self, state: TrainState, key: jax.Array,
+                   num_steps: int,
+                   pseudo_frequency: Optional[float] = None):
+        """Run ``num_steps`` steps in one device program; returns
+        (state, stacked metrics)."""
+        if pseudo_frequency is None:
+            pseudo_frequency = self.augment.pseudo_frequency
+        return self._jit_train_many(
+            state, key, jnp.asarray(pseudo_frequency, jnp.float32),
+            self.dataset, self._bank2_flat, num_steps)
 
     def evaluate(self, state: TrainState, mode: str = "validation",
                  ) -> Tuple[np.ndarray, float]:
