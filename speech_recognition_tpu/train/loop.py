@@ -75,22 +75,38 @@ class Trainer:
     seed: int = 0
     mesh: Optional[Any] = None
     filter_mult: int = 1
-    # Doubled-bank rolled decode: gather+decode+roll+mix as contiguous
-    # dynamic slices (see ops/augment.rolled_decode_augment). Pure XLA,
-    # shards over the batch, costs 2x int16 bank HBM. Default on.
+    # Doubled-bank decode+augment: on single-device TPU the fused Pallas
+    # kernel; elsewhere the XLA contiguous-dynamic-slice formulation
+    # (ops/augment.rolled_decode_augment). Both avoid the elementwise
+    # roll gather XLA sometimes lowers catastrophically. Costs 2x int16
+    # bank HBM. Default on.
     use_fused_augment: Optional[bool] = None
 
     def __post_init__(self):
         if self.mesh is None:
             self.mesh = make_mesh()
         if self.use_fused_augment is None:
-            self.use_fused_augment = True
-        self._bank2_flat = None
+            # chunked banks need lane-aligned clips (true for the 16 kHz
+            # one-second Speech Commands geometry)
+            self.use_fused_augment = (
+                self.settings.desired_samples % 128 == 0)
+        self._bank_chunks = None
+        self._bg_chunks = None
+        self._use_pallas_augment = False
         if self.use_fused_augment:
             from speech_recognition_tpu.ops.pallas.augment_kernel import (
-                double_bank,
+                chunk_background, double_bank,
             )
-            self._bank2_flat = jax.jit(double_bank)(self.dataset.wav_bank)
+            t = self.settings.desired_samples
+            self._bank_chunks = jax.jit(double_bank)(self.dataset.wav_bank)
+            bg = self.dataset.background
+            flat = (bg.flat if bg is not None
+                    else jnp.zeros((t,), jnp.float32))
+            self._bg_chunks = jax.jit(
+                lambda f: chunk_background(f, t))(flat)
+            self._use_pallas_augment = (
+                jax.default_backend() == "tpu"
+                and self.mesh.devices.size == 1)
         s = self.settings
         self.module, self.spec = build_model(
             self.model_name, num_classes=s.label_count,
@@ -104,7 +120,7 @@ class Trainer:
         self.representation = self.spec.representation
         self._jit_train_step = jax.jit(self._train_step, donate_argnums=0)
         self._jit_train_many = jax.jit(self._train_many, donate_argnums=0,
-                                       static_argnums=5)
+                                       static_argnums=6)
         self._jit_eval_step = jax.jit(self._eval_step)
 
     # -- setup ------------------------------------------------------------
@@ -162,7 +178,7 @@ class Trainer:
 
     def _train_step(self, state: TrainState, key: jax.Array,
                     pseudo_frequency: jax.Array, ds: DeviceDataset,
-                    bank2_flat):
+                    bank_chunks, bg_chunks):
         k_sample, k_aug, k_drop = jax.random.split(key, 3)
         fids, labels, silence = ds.sample_train_ids(
             k_sample, self.batch_size, pseudo_frequency)
@@ -176,9 +192,16 @@ class Trainer:
             shift, fg_vol, bg_pos, bg_vol = draw_augment_params(
                 k_aug, silence, self.augment, ds.background,
                 self.batch_size, t)
-            wav = rolled_decode_augment(
-                bank2_flat, ds.background, fids, shift, fg_vol,
-                bg_pos, bg_vol, num_samples=t)
+            if self._use_pallas_augment:
+                from speech_recognition_tpu.ops.pallas.augment_kernel \
+                    import fused_decode_augment_flat
+                wav = fused_decode_augment_flat(
+                    bank_chunks, bg_chunks, fids, shift, fg_vol, bg_pos,
+                    bg_vol, num_samples=t)
+            else:
+                wav = rolled_decode_augment(
+                    bank_chunks.reshape(-1), ds.background, fids, shift,
+                    fg_vol, bg_pos, bg_vol, num_samples=t)
         else:
             wav = ds.decode(fids)
             wav = augment_batch(k_aug, wav, silence, self.augment,
@@ -223,11 +246,11 @@ class Trainer:
             pseudo_frequency = self.augment.pseudo_frequency
         return self._jit_train_step(
             state, key, jnp.asarray(pseudo_frequency, jnp.float32),
-            self.dataset, self._bank2_flat)
+            self.dataset, self._bank_chunks, self._bg_chunks)
 
     def _train_many(self, state: TrainState, key: jax.Array,
                     pseudo_frequency: jax.Array, ds: DeviceDataset,
-                    bank2_flat, num_steps: int):
+                    bank_chunks, bg_chunks, num_steps: int):
         """num_steps train steps as ONE compiled lax.scan program.
 
         Amortizes host dispatch (one launch per chunk instead of per
@@ -238,7 +261,8 @@ class Trainer:
 
         def body(state, step_key):
             new_state, metrics = self._train_step(
-                state, step_key, pseudo_frequency, ds, bank2_flat)
+                state, step_key, pseudo_frequency, ds, bank_chunks,
+                bg_chunks)
             return new_state, metrics
 
         return jax.lax.scan(body, state, keys)
@@ -252,7 +276,7 @@ class Trainer:
             pseudo_frequency = self.augment.pseudo_frequency
         return self._jit_train_many(
             state, key, jnp.asarray(pseudo_frequency, jnp.float32),
-            self.dataset, self._bank2_flat, num_steps)
+            self.dataset, self._bank_chunks, self._bg_chunks, num_steps)
 
     def evaluate(self, state: TrainState, mode: str = "validation",
                  ) -> Tuple[np.ndarray, float]:

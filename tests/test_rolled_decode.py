@@ -13,7 +13,7 @@ def test_rolled_decode_matches_reference():
     rng = np.random.default_rng(0)
     n, t, b = 16, 512, 12
     bank = rng.integers(-3000, 3000, (n, t), dtype=np.int16)
-    bank2 = double_bank(jnp.asarray(bank))
+    bank2 = double_bank(jnp.asarray(bank)).reshape(-1)
     bg_clip = rng.uniform(-0.2, 0.2, 5 * t).astype(np.float32)
     background = BackgroundBank.from_arrays([bg_clip], min_length=t)
     fids = rng.integers(0, n, b).astype(np.int32)
@@ -37,7 +37,7 @@ def test_rolled_decode_no_background():
     rng = np.random.default_rng(1)
     n, t, b = 4, 256, 4
     bank = rng.integers(-3000, 3000, (n, t), dtype=np.int16)
-    bank2 = double_bank(jnp.asarray(bank))
+    bank2 = double_bank(jnp.asarray(bank)).reshape(-1)
     fids = np.arange(b, dtype=np.int32)
     shifts = np.zeros(b, np.int32)
     got = np.asarray(rolled_decode_augment(
