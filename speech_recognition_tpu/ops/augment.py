@@ -198,18 +198,22 @@ def rolled_decode_augment(bank2_flat: jax.Array,
                           num_samples: int) -> jax.Array:
     """Gather + int16 decode + circular roll + background mix, TPU-fast.
 
-    Key insight: with the clip bank stored doubled along time
-    (ops/pallas/augment_kernel.double_bank, flattened view: stride 2T per
-    clip), ``roll(bank[f], s)`` is the contiguous window at
-    ``f*2T + ((-s) mod T)`` — one vmapped dynamic_slice (a gather of
+    Key insight: with the clip bank stored periodically tiled along time
+    (ops/pallas/augment_kernel.double_bank, flattened view),
+    ``roll(bank[f], s)`` is the contiguous window at
+    ``f*stride + ((-s) mod T)`` — one vmapped dynamic_slice (a gather of
     contiguous slices, which TPU executes as DMAs) instead of the
     elementwise modular gather XLA otherwise linearizes into a ~60 ms
     kernel at batch 384. (On TPU the Pallas kernel
     ``fused_decode_augment_flat`` goes further and fuses the whole path.)
     """
+    from speech_recognition_tpu.ops.pallas.augment_kernel import (
+        FG_CHUNK, fg_chunks_per_clip,
+    )
     t = num_samples
+    stride = fg_chunks_per_clip(t) * FG_CHUNK
     starts = ((-shifts) % t).astype(jnp.int32)
-    pos = file_ids.astype(jnp.int32) * (2 * t) + starts
+    pos = file_ids.astype(jnp.int32) * stride + starts
 
     def slice_one(p):
         return jax.lax.dynamic_slice(bank2_flat, (p,), (t,))

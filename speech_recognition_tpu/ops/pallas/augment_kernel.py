@@ -7,18 +7,17 @@ decode/scale/mix in VMEM. XLA lowers the roll/crop gathers into a
 linearized elementwise gather in some program contexts (~60 ms at
 384x16000); this kernel is immune by construction.
 
-Mosaic constraint handling (this toolchain):
-  * dynamic DMA starts must be tile-aligned -> all HBM arrays are viewed
-    as [rows, 1, 128] chunk stacks; the leading dim is untiled, so a
-    window starting at any 128-sample chunk is a legal
-    ``ref.at[pl.ds(chunk, n)]`` DMA;
-  * the remaining 0..127-sample shift happens in VMEM as two dynamic
-    lane-rolls (``pltpu.roll`` with a traced shift) + an iota select —
-    window[i] = buf[shift + i] needs row r and r+1 of the chunk stack,
-    hence copies fetch chunks+1 rows;
-  * the circular foreground roll uses a pre-doubled clip bank
-    ([N, 2T] -> chunks), making roll(clip, s) a contiguous window at
-    (-s) mod T.
+Mosaic constraint handling (probed on this toolchain):
+  * dynamic DMA starts must index an *untiled* leading dim -> HBM arrays
+    are chunk stacks ([rows, 2, 128] int16 / [rows, 8, 128] f32), so a
+    window starting at any chunk is a legal ``ref.at[pl.ds(chunk, n)]``;
+  * the sub-chunk remainder shift happens in VMEM: a dynamic sublane
+    rotate (``pltpu.roll`` axis 0) + two dynamic lane rotates (axis 1)
+    + an iota select implement flat_window(buf, s) for any s — rotate
+    requires 32-bit data, so int16 decodes to f32 first;
+  * the circular foreground roll uses a periodically tiled clip bank
+    (each row = clip repeated to 126 chunks), making roll(clip, s) a
+    contiguous window at (-s) mod T.
 
 Semantics identical to the jnp path (same ``draw_augment_params``):
 
@@ -38,75 +37,86 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
+FG_CHUNK = 256     # int16 chunk: [2, 128]
+BG_CHUNK = 1024    # f32 chunk:  [8, 128]
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def bank_chunk_count(t: int) -> int:
-    """Chunk rows per doubled clip."""
-    return 2 * t // LANE
+def fg_chunks_per_clip(t: int) -> int:
+    """Chunk rows per bank clip: window start < T, window = T + slack."""
+    return _round_up(t + FG_CHUNK, FG_CHUNK) // FG_CHUNK \
+        + _round_up(t, FG_CHUNK) // FG_CHUNK
+
+
+def fg_fetch_chunks(t: int) -> int:
+    return _round_up(t + FG_CHUNK, FG_CHUNK) // FG_CHUNK
+
+
+def bg_fetch_chunks(t: int) -> int:
+    return _round_up(t + BG_CHUNK, BG_CHUNK) // BG_CHUNK
 
 
 def double_bank(bank: jax.Array) -> jax.Array:
-    """[N, T] int16 -> [N * 2T/128, 1, 128] doubled chunk stack.
+    """[N, T] int16 -> [N * chunks_per_clip, 2, 128] periodic chunk stack.
 
     Stored once at startup (~2x int16 HBM; Speech Commands ~4 GB of 16 GB).
-    ``roll(bank[f], s)`` becomes the window of ``T/128 + 1`` chunk rows
-    starting at ``f*(2T/128) + ((-s) mod T)//128`` plus a <128 lane shift.
+    ``roll(bank[f], s)`` = window of ``fg_fetch_chunks`` chunk rows at
+    ``f*chunks_per_clip + ((-s) mod T)//256`` plus a <256 in-VMEM shift.
     """
     n, t = bank.shape
     if t % LANE:
         raise ValueError(f"desired_samples must be a multiple of {LANE}")
-    doubled = jnp.concatenate([bank, bank], axis=1)
-    return doubled.reshape(n * bank_chunk_count(t), 1, LANE)
+    per_clip = fg_chunks_per_clip(t)
+    total = per_clip * FG_CHUNK
+    reps = -(-total // t)
+    tiled = jnp.tile(bank, (1, reps))[:, :total]
+    return tiled.reshape(n * per_clip, 2, LANE)
 
 
 def chunk_background(flat: jax.Array, t: int) -> jax.Array:
-    """[M] f32 -> [ceil/128 rows + headroom, 1, 128] chunk stack.
-
-    Pads with zeros so any window of ``T/128 + 1`` chunk rows starting at
-    ``pos // 128`` (pos + T <= M guaranteed by the sampler) is in range.
-    """
+    """[M] f32 -> [rows, 8, 128] chunk stack with fetch headroom."""
     m = flat.shape[0]
-    padded = _round_up(m, LANE) + 2 * LANE
-    flat = jnp.concatenate(
-        [flat, jnp.zeros((padded - m,), flat.dtype)])
-    return flat.reshape(padded // LANE, 1, LANE)
+    padded = _round_up(m, BG_CHUNK) + bg_fetch_chunks(t) * BG_CHUNK
+    flat = jnp.concatenate([flat, jnp.zeros((padded - m,), flat.dtype)])
+    return flat.reshape(padded // BG_CHUNK, 8, LANE)
 
 
-def _window(buf2d, lane_shift, chunks):
-    """Extract flat window starting at ``lane_shift`` from a
-    [chunks+1, LANE] buffer -> [chunks, LANE].
+def _window(buf2d: jax.Array, shift, chunks: int) -> jax.Array:
+    """flat_window: out[r*128+c] = buf2d.flat[shift + r*128 + c].
 
-    out[r, c] = buf[r + (c + s >= LANE), (c + s) % LANE]; both candidate
-    rows come from dynamic lane-rolls of the static row slices.
+    buf2d: [R, 128] f32 with R >= chunks + 1 + max_sublane_shift.
+    shift: traced scalar in [0, (R - chunks - 1) * 128).
     """
-    s = lane_shift
-    rolled_shift = (-s) % LANE
-    lo = pltpu.roll(buf2d[0:chunks, :], rolled_shift, axis=1)
-    hi = pltpu.roll(buf2d[1:chunks + 1, :], rolled_shift, axis=1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (chunks, LANE), 1)
-    return jnp.where(lane < LANE - s, lo, hi)
+    r_total = buf2d.shape[0]
+    sub = shift // LANE
+    lane = shift % LANE
+    shifted = pltpu.roll(buf2d, (-sub) % r_total, axis=0)
+    rot = (-lane) % LANE
+    lo = pltpu.roll(shifted[0:chunks, :], rot, axis=1)
+    hi = pltpu.roll(shifted[1:chunks + 1, :], rot, axis=1)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (chunks, LANE), 1)
+    return jnp.where(lane_ids < LANE - lane, lo, hi)
 
 
-def _kernel(fgchunk_ref, fglane_ref, fgscale_ref,
-            bgchunk_ref, bglane_ref, bgvol_ref,       # scalars (SMEM)
+def _kernel(fgchunk_ref, fgrem_ref, fgscale_ref,
+            bgchunk_ref, bgrem_ref, bgvol_ref,        # scalars (SMEM)
             bank_ref, bg_ref,                          # chunked HBM
             out_ref,                                   # VMEM out tile
             fg_buf, bg_buf, sems,
-            *, chunks, rows_per_block):
+            *, chunks, fg_fetch, bg_fetch, rows_per_block):
     base = pl.program_id(0) * rows_per_block
 
     def fg_copy(r):
         return pltpu.make_async_copy(
-            bank_ref.at[pl.ds(fgchunk_ref[base + r], chunks + 1)],
+            bank_ref.at[pl.ds(fgchunk_ref[base + r], fg_fetch)],
             fg_buf.at[r], sems.at[r, 0])
 
     def bg_copy(r):
         return pltpu.make_async_copy(
-            bg_ref.at[pl.ds(bgchunk_ref[base + r], chunks + 1)],
+            bg_ref.at[pl.ds(bgchunk_ref[base + r], bg_fetch)],
             bg_buf.at[r], sems.at[r, 1])
 
     for r in range(rows_per_block):
@@ -115,17 +125,18 @@ def _kernel(fgchunk_ref, fglane_ref, fgscale_ref,
     for r in range(rows_per_block):
         fg_copy(r).wait()
         bg_copy(r).wait()
-        fg2d = fg_buf[r].reshape(chunks + 1, LANE)
-        bg2d = bg_buf[r].reshape(chunks + 1, LANE)
-        fg_win = _window(fg2d, fglane_ref[base + r], chunks)
-        bg_win = _window(bg2d, bglane_ref[base + r], chunks)
-        out_ref[r] = (fg_win.astype(jnp.float32) * fgscale_ref[base + r]
+        # rotate needs 32-bit data: decode int16 -> f32 first
+        fg2d = fg_buf[r].reshape(fg_fetch * 2, LANE).astype(jnp.float32)
+        bg2d = bg_buf[r].reshape(bg_fetch * 8, LANE)
+        fg_win = _window(fg2d, fgrem_ref[base + r], chunks)
+        bg_win = _window(bg2d, bgrem_ref[base + r], chunks)
+        out_ref[r] = (fg_win * fgscale_ref[base + r]
                       + bg_win * bgvol_ref[base + r])
 
 
 @functools.partial(jax.jit, static_argnames=("num_samples", "interpret"))
-def fused_decode_augment_flat(bank_chunks: jax.Array,  # [N*2T/128, 1, 128]
-                              bg_chunks: jax.Array,    # [*, 1, 128] f32
+def fused_decode_augment_flat(bank_chunks: jax.Array,  # [*, 2, 128] int16
+                              bg_chunks: jax.Array,    # [*, 8, 128] f32
                               file_ids: jax.Array,     # [B] int32
                               shifts: jax.Array,       # [B] int32 (np.roll)
                               fg_vol: jax.Array,       # [B] f32
@@ -137,15 +148,17 @@ def fused_decode_augment_flat(bank_chunks: jax.Array,  # [N*2T/128, 1, 128]
     batch = file_ids.shape[0]
     t = num_samples
     chunks = t // LANE
+    fg_fetch = fg_fetch_chunks(t)
+    bg_fetch = bg_fetch_chunks(t)
     rows_per_block = 8 if batch % 8 == 0 else batch
     fg_scale = (fg_vol / 32768.0).astype(jnp.float32)
     starts = ((-shifts) % t).astype(jnp.int32)
-    fg_chunk = (file_ids.astype(jnp.int32) * bank_chunk_count(t)
-                + starts // LANE)
-    fg_lane = starts % LANE
+    fg_chunk = (file_ids.astype(jnp.int32) * fg_chunks_per_clip(t)
+                + starts // FG_CHUNK)
+    fg_rem = starts % FG_CHUNK
     bg_pos = bg_pos.astype(jnp.int32)
-    bg_chunk = bg_pos // LANE
-    bg_lane = bg_pos % LANE
+    bg_chunk = bg_pos // BG_CHUNK
+    bg_rem = bg_pos % BG_CHUNK
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(batch // rows_per_block,),
@@ -157,19 +170,20 @@ def fused_decode_augment_flat(bank_chunks: jax.Array,  # [N*2T/128, 1, 128]
                                lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((rows_per_block, chunks + 1, 1, LANE), jnp.int16),
-            pltpu.VMEM((rows_per_block, chunks + 1, 1, LANE), jnp.float32),
+            pltpu.VMEM((rows_per_block, fg_fetch, 2, LANE), jnp.int16),
+            pltpu.VMEM((rows_per_block, bg_fetch, 8, LANE), jnp.float32),
             pltpu.SemaphoreType.DMA((rows_per_block, 2)),
         ],
     )
-    kernel = functools.partial(_kernel, chunks=chunks,
-                               rows_per_block=rows_per_block)
+    kernel = functools.partial(
+        _kernel, chunks=chunks, fg_fetch=fg_fetch, bg_fetch=bg_fetch,
+        rows_per_block=rows_per_block)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((batch, chunks, LANE), jnp.float32),
         interpret=interpret,
-    )(fg_chunk, fg_lane, fg_scale, bg_chunk, bg_lane,
+    )(fg_chunk, fg_rem, fg_scale, bg_chunk, bg_rem,
       bg_vol.astype(jnp.float32), bank_chunks, bg_chunks)
     return out.reshape(batch, t)
 
