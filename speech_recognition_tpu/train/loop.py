@@ -104,9 +104,11 @@ class Trainer:
                     else jnp.zeros((t,), jnp.float32))
             self._bg_chunks = jax.jit(
                 lambda f: chunk_background(f, t))(flat)
+            import os
             self._use_pallas_augment = (
                 jax.default_backend() == "tpu"
-                and self.mesh.devices.size == 1)
+                and self.mesh.devices.size == 1
+                and not os.environ.get("SRT_DISABLE_PALLAS_AUGMENT"))
         s = self.settings
         self.module, self.spec = build_model(
             self.model_name, num_classes=s.label_count,
