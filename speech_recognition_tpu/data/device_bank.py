@@ -97,6 +97,18 @@ class DeviceDataset(struct.PyTreeNode):
         sl = slice(offset, offset + batch_size)
         return part.file_ids[sl], part.labels[sl], part.is_silence[sl]
 
+    def get_unprocessed_data(self, mode: str, how_many: int = -1,
+                             offset: int = 0,
+                             ) -> Tuple[jax.Array, jax.Array]:
+        """Raw decoded clips + labels, silence muted, no augmentation
+        (parity: input_data.py:543-589)."""
+        part = self.partitions[mode]
+        count = part.size if how_many == -1 else how_many
+        sl = slice(offset, offset + count)
+        wav = self.decode(part.file_ids[sl])
+        wav = wav * jnp.where(part.is_silence[sl], 0.0, 1.0)[:, None]
+        return wav, part.labels[sl]
+
 
 def build_device_dataset(index: DatasetIndex,
                          settings: ModelSettings,
