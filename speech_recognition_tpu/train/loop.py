@@ -81,6 +81,10 @@ class Trainer:
     # roll gather XLA sometimes lowers catastrophically. Costs 2x int16
     # bank HBM. Default on.
     use_fused_augment: Optional[bool] = None
+    # Mixed precision: 'bfloat16' runs the model forward/backward in bf16
+    # (params cast per-step; f32 master weights, f32 loss/optimizer).
+    # Halves activation HBM traffic on TPU. 'float32' = reference-exact.
+    compute_dtype: str = "float32"
 
     def __post_init__(self):
         if self.mesh is None:
@@ -155,20 +159,37 @@ class Trainer:
 
     # -- steps ------------------------------------------------------------
 
+    def _cast_compute(self, tree):
+        if self.compute_dtype == "float32":
+            return tree
+        dt = jnp.dtype(self.compute_dtype)
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(dt)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, tree)
+
     def _forward_batch(self, params, batch_stats, x, train, dropout_key):
+        # mixed precision: cast f32 params/stats/inputs to the compute
+        # dtype; flax's dtype promotion then runs the whole net there.
+        # Master params stay f32 (grads are cast back by value_and_grad's
+        # cotangent flowing through astype). BN stats updates that come
+        # back in low precision are re-cast to f32 below.
+        params = self._cast_compute(params)
+        x = self._cast_compute(x)
         variables = {"params": params}
         if batch_stats:
-            variables["batch_stats"] = batch_stats
+            variables["batch_stats"] = self._cast_compute(batch_stats)
         if train:
             mutable = ["batch_stats"] if batch_stats else []
             out = self.apply_or_call(variables, x, True,
                                      {"dropout": dropout_key}, mutable)
             if mutable:
                 logits, updated = out
-                return logits, updated["batch_stats"]
-            return out, batch_stats
+                new_stats = jax.tree_util.tree_map(
+                    lambda a: a.astype(jnp.float32), updated["batch_stats"])
+                return logits.astype(jnp.float32), new_stats
+            return out.astype(jnp.float32), batch_stats
         logits = self.apply_or_call(variables, x, False, None, [])
-        return logits, batch_stats
+        return logits.astype(jnp.float32), batch_stats
 
     def apply_or_call(self, variables, x, train, rngs, mutable):
         kwargs = dict(train=train)

@@ -123,6 +123,27 @@ def test_batch_sharded_over_mesh():
     assert len(leaf.sharding.device_set) == 8  # replicated over all devices
 
 
+def test_bfloat16_compute_path():
+    settings = prepare_model_settings(
+        label_count=12, window_size_ms=30.0, window_stride_ms=10.0,
+        dct_coefficient_count=80, num_log_mel_features=40,
+        output_representation="mfcc")
+    ds = synthetic_device_dataset(num_train=32, num_val=16, num_pseudo=4)
+    trainer = Trainer(model_name="conv_2d_fast", settings=settings,
+                      dataset=ds, augment=AugmentConfig(), batch_size=8,
+                      mesh=make_mesh(), compute_dtype="bfloat16")
+    state = trainer.init_state()
+    # master params stay f32
+    assert all(p.dtype == jnp.float32
+               for p in jax.tree_util.tree_leaves(state.params))
+    state, metrics = trainer.train_step(state, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert all(p.dtype == jnp.float32
+               for p in jax.tree_util.tree_leaves(state.params))
+    conf, val_loss = trainer.evaluate(state)
+    assert np.isfinite(val_loss)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from speech_recognition_tpu.train.checkpoint import (
         restore_checkpoint, save_checkpoint)
