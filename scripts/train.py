@@ -42,6 +42,10 @@ def parse_args():
     p.add_argument("--testing_percentage", type=float, default=0.0)
     p.add_argument("--pseudo_frequency", type=float, default=0.6)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="bfloat16 = mixed-precision forward/backward "
+                        "(f32 master weights)")
     p.add_argument("--steps_per_epoch", type=int, default=0)
     p.add_argument("--resume", default="",
                    help="checkpoint directory to resume from")
@@ -93,7 +97,8 @@ def main():
     trainer = Trainer(
         model_name=args.model, settings=settings, dataset=dataset,
         augment=AugmentConfig(pseudo_frequency=args.pseudo_frequency),
-        batch_size=args.batch_size, seed=args.seed)
+        batch_size=args.batch_size, seed=args.seed,
+        compute_dtype=args.compute_dtype)
     state = trainer.init_state()
     if args.resume:
         state = restore_checkpoint(args.resume, state)

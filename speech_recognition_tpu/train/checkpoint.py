@@ -75,9 +75,9 @@ class BestCheckpoint:
                      else value < self.best))
         if improved:
             self.best = value
-            path = os.path.join(
+            path = os.path.abspath(os.path.join(
                 self.directory,
-                "ep-%03d-vl-%.4f" % (epoch, float(logs.get("val_loss", 0))))
+                "ep-%03d-vl-%.4f" % (epoch, float(logs.get("val_loss", 0)))))
             save_checkpoint(path, state)
             with open(os.path.join(self.directory, "BEST"), "w") as f:
                 f.write(path)
