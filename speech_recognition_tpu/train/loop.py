@@ -109,9 +109,12 @@ class Trainer:
             self._bg_chunks = jax.jit(
                 lambda f: chunk_background(f, t))(flat)
             import os
+            num_devices = self.mesh.devices.size
+            per_device_batch = self.batch_size // max(1, num_devices)
             self._use_pallas_augment = (
                 jax.default_backend() == "tpu"
-                and self.mesh.devices.size == 1
+                and self.batch_size % max(1, num_devices) == 0
+                and per_device_batch % 8 == 0
                 and not os.environ.get("SRT_DISABLE_PALLAS_AUGMENT"))
         s = self.settings
         self.module, self.spec = build_model(
@@ -216,11 +219,19 @@ class Trainer:
                 k_aug, silence, self.augment, ds.background,
                 self.batch_size, t)
             if self._use_pallas_augment:
-                from speech_recognition_tpu.ops.pallas.augment_kernel \
-                    import fused_decode_augment_flat
-                wav = fused_decode_augment_flat(
-                    bank_chunks, bg_chunks, fids, shift, fg_vol, bg_pos,
-                    bg_vol, num_samples=t)
+                if self.mesh.devices.size > 1:
+                    from speech_recognition_tpu.ops.pallas.sharded import (
+                        fused_decode_augment_sharded,
+                    )
+                    wav = fused_decode_augment_sharded(
+                        self.mesh, bank_chunks, bg_chunks, fids, shift,
+                        fg_vol, bg_pos, bg_vol, num_samples=t)
+                else:
+                    from speech_recognition_tpu.ops.pallas.augment_kernel \
+                        import fused_decode_augment_flat
+                    wav = fused_decode_augment_flat(
+                        bank_chunks, bg_chunks, fids, shift, fg_vol,
+                        bg_pos, bg_vol, num_samples=t)
             else:
                 wav = rolled_decode_augment(
                     bank_chunks.reshape(-1), ds.background, fids, shift,
