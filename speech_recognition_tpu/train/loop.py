@@ -259,6 +259,8 @@ class Trainer:
 
     def _eval_step(self, state: TrainState, ds: DeviceDataset,
                    fids, labels, silence):
+        fids, labels, silence = constrain_batch(
+            (fids, labels, silence), self.mesh)
         wav = ds.decode(fids)
         wav = augment_batch(jax.random.PRNGKey(0), wav, silence,
                             self.augment.eval_variant(),
