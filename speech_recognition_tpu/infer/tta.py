@@ -9,6 +9,13 @@ the reference's deliberate down-weighting, reproduced as-is).
 TPU-first: all variants are computed in ONE jitted program per batch —
 the variant axis is folded into the batch so the model runs once on
 [num_variants*B, ...] instead of num_variants sequential predicts.
+
+Divergence note: TTA transforms apply to the *waveform* and features are
+recomputed per variant. The reference rolls whatever tensor feeds the
+model (make_submission.py:126), which for its shipped models is the raw
+waveform too; for mfcc/spec representations rolling flat feature vectors
+would be meaningless, so the waveform-domain definition is used for all
+representations here.
 """
 
 from __future__ import annotations
