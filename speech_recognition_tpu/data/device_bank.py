@@ -15,7 +15,6 @@ partition deterministically.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict, Optional, Tuple
 
 import jax

@@ -16,14 +16,14 @@ re-softmaxed — is available as a composable wrapper.
 from __future__ import annotations
 
 import os
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, List
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import export as jax_export
 
-from speech_recognition_tpu.labels import get_classes, prepare_words_list
+from speech_recognition_tpu.labels import get_classes
 
 
 def map_32_to_12_probs(all_probs: jax.Array,

@@ -6,7 +6,7 @@ train step (sample+augment+frontend+fwd/bwd+update) and for inference.
 from __future__ import annotations
 
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import numpy as np

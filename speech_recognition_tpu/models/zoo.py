@@ -21,7 +21,7 @@ clip ([B, input_size]), or a (mfcc, raw) tuple for ``conv_1d_mfcc_and_raw``
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

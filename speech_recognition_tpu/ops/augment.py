@@ -23,7 +23,6 @@ All shapes are static; randomness comes from one splittable PRNG key.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional, Tuple
 
 import jax

@@ -10,7 +10,6 @@ padding, window-sum-squares normalization).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

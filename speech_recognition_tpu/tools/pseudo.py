@@ -19,9 +19,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from speech_recognition_tpu.data.wav import (
-    encode_wav_bytes, load_wav_file, save_wav_file,
-)
+from speech_recognition_tpu.data.wav import load_wav_file, save_wav_file
 from speech_recognition_tpu.infer.submission import AUDIO_NAMES
 
 

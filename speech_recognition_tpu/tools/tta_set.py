@@ -8,8 +8,6 @@ device-resident batches through the jitted phase vocoder.
 from __future__ import annotations
 
 import os
-from typing import Sequence
-
 import jax.numpy as jnp
 import numpy as np
 

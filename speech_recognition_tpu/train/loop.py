@@ -12,7 +12,6 @@ data-parallel mesh; XLA inserts the gradient psum over ICI.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import time
 from typing import Any, Callable, Dict, Iterable, Optional, Tuple
 
@@ -25,11 +24,10 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from speech_recognition_tpu.config import AugmentConfig, ModelSettings
 from speech_recognition_tpu.data.device_bank import DeviceDataset
 from speech_recognition_tpu.models import build_model
-from speech_recognition_tpu.models.zoo import ModelSpec
 from speech_recognition_tpu.ops.augment import augment_batch
 from speech_recognition_tpu.ops.frontend import Frontend
 from speech_recognition_tpu.parallel.mesh import (
-    DATA_AXIS, constrain_batch, make_mesh,
+    constrain_batch, make_mesh,
 )
 from speech_recognition_tpu.train import metrics as M
 from speech_recognition_tpu.train.optim import (
