@@ -16,4 +16,31 @@ device-resident, batch-sharded over a data-parallel mesh.
 __version__ = "0.1.0"
 
 from speech_recognition_tpu import labels  # noqa: F401
-from speech_recognition_tpu.config import ModelSettings, prepare_model_settings  # noqa: F401
+from speech_recognition_tpu.config import (  # noqa: F401
+    AugmentConfig, ModelSettings, prepare_model_settings,
+)
+
+
+def __getattr__(name):
+    """Lazy top-level API (avoids importing jax for light consumers)."""
+    if name == "Trainer":
+        from speech_recognition_tpu.train.loop import Trainer
+        return Trainer
+    if name == "Predictor":
+        from speech_recognition_tpu.infer.tta import Predictor
+        return Predictor
+    if name == "build_model":
+        from speech_recognition_tpu.models import build_model
+        return build_model
+    if name == "build_dataset_index":
+        from speech_recognition_tpu.data.index import build_dataset_index
+        return build_dataset_index
+    if name == "build_device_dataset":
+        from speech_recognition_tpu.data.device_bank import (
+            build_device_dataset,
+        )
+        return build_device_dataset
+    if name == "Frontend":
+        from speech_recognition_tpu.ops.frontend import Frontend
+        return Frontend
+    raise AttributeError(name)
