@@ -82,3 +82,17 @@ def test_goldens_cover_registry():
 @pytest.mark.parametrize("name", SPOT)
 def test_param_count_golden(name):
     assert _count(name) == GOLDEN_PARAM_COUNTS[name]
+
+
+@pytest.mark.parametrize("num_classes", [32, 49])
+def test_flagship_class_variants(num_classes):
+    """The 32-class (model-106) and 49-class (reversed-words) tasks
+    (classes.py:5-23) build and emit the right logit width."""
+    module, _ = build_model("conv_1d_time_sliced_with_attention",
+                            num_classes=num_classes)
+    x = jnp.zeros((2, 16000))
+    variables = module.init({"params": jax.random.PRNGKey(0),
+                             "dropout": jax.random.PRNGKey(1)},
+                            x, train=False)
+    logits = module.apply(variables, x, train=False)
+    assert logits.shape == (2, num_classes)
