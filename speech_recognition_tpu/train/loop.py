@@ -288,8 +288,10 @@ class Trainer:
         """num_steps train steps as ONE compiled lax.scan program.
 
         Amortizes host dispatch (one launch per chunk instead of per
-        step) — the production inner loop; per-step metrics come back
-        stacked.
+        step); per-step metrics come back stacked. Note: on the current
+        toolchain the scanned program underutilizes the chip vs the
+        pipelined per-step loop (docs/ROADMAP.md item 2), so ``fit`` uses
+        per-step dispatch.
         """
         keys = jax.random.split(key, num_steps)
 
