@@ -55,6 +55,19 @@ def _padding(p: str) -> str:
     return {"valid": "VALID", "same": "SAME"}[p.lower()]
 
 
+class Conv(nn.Conv):
+    """nn.Conv with Keras's glorot_uniform kernel default (the reference
+    framework's initializer for every Conv layer)."""
+
+    kernel_init: Callable = nn.initializers.glorot_uniform()
+
+
+class Dense(nn.Dense):
+    """nn.Dense with Keras's glorot_uniform kernel default."""
+
+    kernel_init: Callable = nn.initializers.glorot_uniform()
+
+
 class ConvBN(nn.Module):
     """Conv(1D/2D) -> BatchNorm -> activation, the reference's workhorse
     (e.g. model.py:173-185). ``groups`` > 1 gives grouped convolution."""
@@ -72,7 +85,7 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(
+        x = Conv(
             features=self.features,
             kernel_size=tuple(self.kernel),
             strides=tuple(self.strides) if self.strides else None,
@@ -111,7 +124,7 @@ class DepthwiseConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         channels = x.shape[-1]
-        x = nn.Conv(
+        x = Conv(
             features=channels,
             kernel_size=(self.kernel,),
             strides=(self.strides,),
@@ -126,7 +139,7 @@ class DepthwiseConvBlock(nn.Module):
                              momentum=BN_MOMENTUM, epsilon=BN_EPS,
                              dtype=self.dtype)(x)
             x = relu6(x)
-        x = nn.Conv(features=self.features, kernel_size=(1,),
+        x = Conv(features=self.features, kernel_size=(1,),
                     use_bias=self.use_bias, dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train,
                          momentum=BN_MOMENTUM, epsilon=BN_EPS,
@@ -155,12 +168,12 @@ class GroupedDepthwiseBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         channels = x.shape[-1]
-        x = nn.Conv(
+        x = Conv(
             features=channels, kernel_size=(self.kernel,),
             strides=(self.strides,), padding=_padding(self.padding),
             kernel_dilation=(self.dilation,), feature_group_count=channels,
             use_bias=False, dtype=self.dtype)(x)
-        x = nn.Conv(features=self.features, kernel_size=(1,),
+        x = Conv(features=self.features, kernel_size=(1,),
                     feature_group_count=self.groups, use_bias=False,
                     dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train,
@@ -229,7 +242,7 @@ class GRU(nn.Module):
         # Explicit params (glorot input kernels, orthogonal-free recurrent
         # kernels per flax defaults) so the recurrent step is plain jnp —
         # flax submodules cannot be invoked inside a raw lax.scan body.
-        w_in = self.param("kernel", nn.initializers.lecun_normal(),
+        w_in = self.param("kernel", nn.initializers.glorot_uniform(),
                           (c, 3 * u))
         b_in = self.param("bias", nn.initializers.zeros, (3 * u,))
         u_zr = self.param("recurrent_kernel_zr",
@@ -318,7 +331,7 @@ class Residual1D(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.strides != 1:
-            residual = nn.Conv(self.features, (1,), strides=(self.strides,),
+            residual = Conv(self.features, (1,), strides=(self.strides,),
                                padding="SAME", use_bias=False,
                                dtype=self.dtype)(x)
             residual = nn.BatchNorm(use_running_average=not train,

@@ -51,7 +51,7 @@ class SimpleModel(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = L.preprocess_mfcc(x)
-        return nn.Dense(self.num_classes)(x)
+        return L.Dense(self.num_classes)(x)
 
 
 class SNNModel(nn.Module):
@@ -63,10 +63,10 @@ class SNNModel(nn.Module):
     def __call__(self, x, train: bool = False):
         x = L.preprocess_mfcc(x)
         for hidden, rate in [(512, 0.1), (256, 0.1), (128, 0.1), (64, 0.05)]:
-            x = nn.Dense(hidden, kernel_init=nn.initializers.lecun_normal())(x)
+            x = L.Dense(hidden, kernel_init=nn.initializers.lecun_normal())(x)
             x = jax.nn.selu(x)
             x = L.AlphaDropout(rate)(x, train)
-        return nn.Dense(self.num_classes,
+        return L.Dense(self.num_classes,
                         kernel_init=nn.initializers.lecun_normal())(x)
 
 
@@ -90,7 +90,7 @@ class Conv1DSimple(nn.Module):
                                      strides=2)(x, train)
             x = L.DepthwiseConvBlock(hidden, 3, padding="valid")(x, train)
         x = L.BiGRU(128, dropout=0.2)(x, train)
-        return nn.Dense(self.num_classes)(x)
+        return L.Dense(self.num_classes)(x)
 
 
 class Conv1DInception(nn.Module):
@@ -144,7 +144,7 @@ class Conv1DInception(nn.Module):
         x = self._inception(x, 96, train)
         x = self._inception(x, 96, train)
         x = nn.Dropout(0.15, deterministic=not train)(x)
-        x = nn.Conv(self.num_classes, (14,), padding="VALID")(x)
+        x = L.Conv(self.num_classes, (14,), padding="VALID")(x)
         return x.reshape(x.shape[0], -1)
 
 
@@ -178,10 +178,10 @@ class _StackedLadder(nn.Module):
         if self.heavy_head:
             x = L.ConvBN(128, (self.head_kernel,), padding="valid")(x, train)
             x = nn.Dropout(0.1, deterministic=not train)(x)
-            x = nn.Conv(self.num_classes, (1,), use_bias=False,
+            x = L.Conv(self.num_classes, (1,), use_bias=False,
                         padding="VALID")(x)
         else:
-            x = nn.Conv(self.num_classes, (self.head_kernel,),
+            x = L.Conv(self.num_classes, (self.head_kernel,),
                         padding="VALID")(x)
         return x.reshape(b, -1)
 
@@ -249,7 +249,7 @@ class InceptionD1(nn.Module):
         x = self._inception(x, 32, train)
         x = self._reduce_inception(x, 32, 2, train)
         x = nn.Dropout(0.2, deterministic=not train)(x)
-        x = nn.Conv(self.num_classes, (6,), padding="VALID")(x)
+        x = L.Conv(self.num_classes, (6,), padding="VALID")(x)
         return x.reshape(b, -1)
 
 
@@ -267,9 +267,9 @@ class Conv1DGru(nn.Module):
         x = L.DepthwiseConvBlock(512, 8, padding="valid")(x, train)
         x = x.reshape(x.shape[0], -1)
         x = nn.Dropout(0.3, deterministic=not train)(x)
-        x = L.relu6(nn.Dense(256)(x))
+        x = L.relu6(L.Dense(256)(x))
         x = nn.Dropout(0.3, deterministic=not train)(x)
-        return nn.Dense(self.num_classes)(x)
+        return L.Dense(self.num_classes)(x)
 
 
 class Conv1DFast(nn.Module):
@@ -280,7 +280,7 @@ class Conv1DFast(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x[..., None]
-        x = nn.Conv(252, (479,), strides=(160,), padding="VALID",
+        x = L.Conv(252, (479,), strides=(160,), padding="VALID",
                     use_bias=False)(x)
         x = L.ConvBN(300, (15,), strides=(2,), padding="valid",
                      groups=6)(x, train)
@@ -288,7 +288,7 @@ class Conv1DFast(nn.Module):
                      groups=5)(x, train)
         x = x.reshape(x.shape[0], -1)
         x = nn.Dropout(0.3, deterministic=not train)(x)
-        return nn.Dense(self.num_classes)(x)
+        return L.Dense(self.num_classes)(x)
 
 
 class Conv1DTimeSliced(nn.Module):
@@ -309,9 +309,9 @@ class Conv1DTimeSliced(nn.Module):
             x = L.DepthwiseConvBlock(w * fm, 3, padding="valid")(x, train)
         x = L.global_avg_pool(x)
         x = nn.Dropout(0.4, deterministic=not train)(x)
-        x = L.relu6(nn.Dense(256 * fm, use_bias=False)(x))
+        x = L.relu6(L.Dense(256 * fm, use_bias=False)(x))
         x = nn.Dropout(0.3, deterministic=not train)(x)
-        return nn.Dense(self.num_classes, use_bias=False)(x)
+        return L.Dense(self.num_classes, use_bias=False)(x)
 
 
 class Conv1DTimeSlicedWithAttention(nn.Module):
@@ -335,14 +335,14 @@ class Conv1DTimeSlicedWithAttention(nn.Module):
         # x: [B, 9, 512*fm]
         att = nn.Dropout(0.4, deterministic=not train)(
             x.reshape(x.shape[0], -1))
-        att = nn.Dense(9)(att)
+        att = L.Dense(9)(att)
         att = jax.nn.softmax(att, axis=-1)[..., None]  # [B, 9, 1]
         attended = x * att
         x_max = L.global_max_pool(attended)
         x_avg = L.global_avg_pool(x)
         x = jnp.concatenate([x_max, x_avg], axis=-1)
         x = nn.Dropout(0.4, deterministic=not train)(x)
-        return nn.Dense(self.num_classes, use_bias=False)(x)
+        return L.Dense(self.num_classes, use_bias=False)(x)
 
 
 class Conv1DResidual(nn.Module):
@@ -368,7 +368,7 @@ class Conv1DResidual(nn.Module):
         x = L.DepthwiseConvBlock(1024 * fm, 3, padding="valid")(x, train)
         x = L.global_avg_pool(x)
         x = nn.Dropout(0.5, deterministic=not train)(x)
-        return nn.Dense(self.num_classes)(x)
+        return L.Dense(self.num_classes)(x)
 
 
 class XceptionWithAttention(nn.Module):
@@ -392,7 +392,7 @@ class XceptionWithAttention(nn.Module):
         att = jax.nn.softmax(att, axis=1)  # over time (model.py:971)
         x = x * att
         x = L.BiGRU(192, dropout=0.2)(x, train)
-        return nn.Dense(self.num_classes)(x)
+        return L.Dense(self.num_classes)(x)
 
 
 class Conv1DTimeSlicedGroup(nn.Module):
@@ -420,10 +420,10 @@ class Conv1DTimeSlicedGroup(nn.Module):
         x400 = jnp.pad(x400, ((0, 0), (1, 0), (0, 0)))  # ZeroPadding1D((1,0))
         x = jnp.concatenate([x500, x400], axis=-1)
         x = nn.Dropout(0.15, deterministic=not train)(x)
-        x = nn.Conv(128, (8,), padding="VALID")(x)
+        x = L.Conv(128, (8,), padding="VALID")(x)
         x = x.reshape(b, -1)
         x = nn.Dropout(0.05, deterministic=not train)(x)
-        return nn.Dense(self.num_classes)(x)
+        return L.Dense(self.num_classes)(x)
 
 
 class Conv1DMultiTimeSliced(nn.Module):
@@ -469,7 +469,7 @@ class Conv1DMultiTimeSliced(nn.Module):
         x = nn.Dropout(0.1, deterministic=not train)(x)
         x = L.DepthwiseConvBlock(128, 1, padding="valid")(x, train)
         x = nn.Dropout(0.1, deterministic=not train)(x)
-        x = nn.Conv(self.num_classes, (1,), padding="VALID")(x)
+        x = L.Conv(self.num_classes, (1,), padding="VALID")(x)
         return x.reshape(b, -1)
 
 
@@ -485,7 +485,7 @@ class Conv1DLearnedSpec(nn.Module):
         x = x[..., None]
         banks = []
         for k in (479, 383, 319, 255, 191, 161):
-            banks.append(nn.Conv(40, (k,), strides=(160,), padding="SAME",
+            banks.append(L.Conv(40, (k,), strides=(160,), padding="SAME",
                                  use_bias=False)(x))
         x = jnp.concatenate(banks, axis=-1)  # [B, 100, 240]
         for w in (300, 360, 420, 480):
@@ -495,7 +495,7 @@ class Conv1DLearnedSpec(nn.Module):
                 _truncate_to_groups(x, 2), train)
         x = x.reshape(b, -1)
         x = nn.Dropout(0.3, deterministic=not train)(x)
-        return nn.Dense(self.num_classes)(x)
+        return L.Dense(self.num_classes)(x)
 
 
 class Conv1DSpec(nn.Module):
@@ -519,7 +519,7 @@ class Conv1DSpec(nn.Module):
                 _truncate_to_groups(x, 3), train)
         x = x.reshape(b, -1)
         x = nn.Dropout(0.3, deterministic=not train)(x)
-        return nn.Dense(self.num_classes)(x)
+        return L.Dense(self.num_classes)(x)
 
 
 class Conv1DTopDown(nn.Module):
@@ -532,7 +532,7 @@ class Conv1DTopDown(nn.Module):
     def __call__(self, x, train: bool = False):
         b = x.shape[0]
         x = x[..., None]
-        x = nn.Conv(480, (479,), strides=(160,), padding="VALID")(x)
+        x = L.Conv(480, (479,), strides=(160,), padding="VALID")(x)
         for w in (420, 360, 300, 240):
             x = L.GroupedDepthwiseBlock(w, 3, 3, padding="valid",
                                         strides=2)(
@@ -541,7 +541,7 @@ class Conv1DTopDown(nn.Module):
                 _truncate_to_groups(x, 2), train)
         x = x.reshape(b, -1)
         x = nn.Dropout(0.05, deterministic=not train)(x)
-        return nn.Dense(self.num_classes)(x)
+        return L.Dense(self.num_classes)(x)
 
 
 # ---------------------------------------------------------------------------
@@ -561,14 +561,14 @@ class Conv2DModel(nn.Module):
         b = x.shape[0]
         x = x.reshape(b, self.time_size, self.frequency_size, 1)
         x = L.preprocess_mfcc(x)
-        x = nn.Conv(64, (20, 8), padding="SAME")(x)
+        x = L.Conv(64, (20, 8), padding="SAME")(x)
         x = nn.relu(x)
         x = L.max_pool_2d(x)
-        x = nn.Conv(128, (10, 4), padding="SAME")(x)
+        x = L.Conv(128, (10, 4), padding="SAME")(x)
         x = nn.relu(x)
         x = L.max_pool_2d(x)
         x = x.reshape(b, -1)
-        return nn.Dense(self.num_classes)(x)
+        return L.Dense(self.num_classes)(x)
 
 
 class Conv2DMobile(nn.Module):
@@ -590,7 +590,7 @@ class Conv2DMobile(nn.Module):
             x = nn.Dropout(0.05, deterministic=not train)(x)
         x = L.global_avg_pool(x)
         x = nn.Dropout(0.1, deterministic=not train)(x)
-        return nn.Dense(self.num_classes)(x)
+        return L.Dense(self.num_classes)(x)
 
 
 class Conv2DFast(nn.Module):
@@ -612,7 +612,7 @@ class Conv2DFast(nn.Module):
                          activation=nn.relu)(x, train)
             x = L.max_pool_2d(x)
         x = L.global_avg_pool(x)
-        return nn.Dense(self.num_classes)(x)
+        return L.Dense(self.num_classes)(x)
 
 
 class _ResidualFeatureTrunk(nn.Module):
@@ -640,7 +640,7 @@ class _ResidualFeatureTrunk(nn.Module):
         x = x * att
         x = L.global_avg_pool(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        return nn.Dense(self.num_classes)(x)
+        return L.Dense(self.num_classes)(x)
 
 
 class Conv1DMfccAndRaw(nn.Module):
@@ -669,7 +669,7 @@ class Conv1DMfccAndRaw(nn.Module):
             x = L.Residual1D(f, 3, strides=s, pool_mode="pool")(x, train)
         x = L.global_avg_pool(x)
         x = nn.Dropout(0.3, deterministic=not train)(x)
-        return nn.Dense(self.num_classes)(x)
+        return L.Dense(self.num_classes)(x)
 
 
 class SteffeNet(nn.Module):
@@ -690,7 +690,7 @@ class SteffeNet(nn.Module):
         x = jnp.concatenate([L.global_max_pool(x), L.global_avg_pool(x)],
                             axis=-1)
         x = nn.Dropout(0.5, deterministic=not train)(x)
-        return nn.Dense(self.num_classes, use_bias=False)(x)
+        return L.Dense(self.num_classes, use_bias=False)(x)
 
 
 # ---------------------------------------------------------------------------
