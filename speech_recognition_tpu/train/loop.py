@@ -127,7 +127,7 @@ class Trainer:
         self.representation = self.spec.representation
         self._jit_train_step = jax.jit(self._train_step, donate_argnums=0)
         self._jit_train_many = jax.jit(self._train_many, donate_argnums=0,
-                                       static_argnums=6)
+                                       static_argnums=(6, 7))
         self._jit_eval_step = jax.jit(self._eval_step)
 
     # -- setup ------------------------------------------------------------
@@ -284,7 +284,8 @@ class Trainer:
 
     def _train_many(self, state: TrainState, key: jax.Array,
                     pseudo_frequency: jax.Array, ds: DeviceDataset,
-                    bank_chunks, bg_chunks, num_steps: int):
+                    bank_chunks, bg_chunks, num_steps: int,
+                    unroll: int = 1):
         """num_steps train steps as ONE compiled lax.scan program.
 
         Amortizes host dispatch (one launch per chunk instead of per
@@ -301,18 +302,21 @@ class Trainer:
                 bg_chunks)
             return new_state, metrics
 
-        return jax.lax.scan(body, state, keys)
+        return jax.lax.scan(body, state, keys, unroll=unroll)
 
     def train_many(self, state: TrainState, key: jax.Array,
                    num_steps: int,
-                   pseudo_frequency: Optional[float] = None):
+                   pseudo_frequency: Optional[float] = None,
+                   unroll: int = 1):
         """Run ``num_steps`` steps in one device program; returns
-        (state, stacked metrics)."""
+        (state, stacked metrics). ``unroll`` > 1 lets XLA overlap
+        adjacent steps inside the scan."""
         if pseudo_frequency is None:
             pseudo_frequency = self.augment.pseudo_frequency
         return self._jit_train_many(
             state, key, jnp.asarray(pseudo_frequency, jnp.float32),
-            self.dataset, self._bank_chunks, self._bg_chunks, num_steps)
+            self.dataset, self._bank_chunks, self._bg_chunks, num_steps,
+            unroll)
 
     def evaluate(self, state: TrainState, mode: str = "validation",
                  ) -> Tuple[np.ndarray, float]:
