@@ -1,0 +1,141 @@
+"""Keras HDF5 checkpoint importer (migration path for reference users).
+
+The reference ships trained Keras 2.1.2 ``.hdf5`` checkpoints
+(train.py:65-68; e.g. ``checkpoints_106/ep-062-vl-0.1815.hdf5``). This
+loads one into the matching flax zoo model by *ordered shape matching*:
+Keras stores weights in layer-creation order, and the zoo reproduces the
+reference architectures layer-for-layer in the same order, so walking
+both sequences and matching transformed shapes reconstructs the
+correspondence without name heuristics.
+
+Weight-layout transforms handled:
+  * Conv1D/Conv2D kernels: Keras [k..., in, out] == flax [k..., in, out]
+  * DepthwiseConv2D(1, k): Keras [1, k, C, 1] -> flax depthwise Conv1D
+    kernel [k, 1, C]
+  * Dense, biases, BatchNorm gamma/beta: identical layouts
+  * BatchNorm moving_mean/variance -> batch_stats collection
+  * GRU: kernel [in, 3u] (z|r|h, Keras v1 gate order == ours);
+    recurrent_kernel [u, 3u] -> split recurrent_kernel_zr [u, 2u] +
+    recurrent_kernel_h [u, u]
+
+Raises with a precise mismatch report if anything fails to line up —
+silent misassignment is never possible (every source weight must be
+consumed exactly once by a shape-compatible slot).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Tuple
+
+import numpy as np
+
+
+def _natural_key(s: str):
+    return [int(p) if p.isdigit() else p for p in re.split(r"(\d+)", s)]
+
+
+def read_keras_weights(h5_path: str) -> List[Tuple[str, str, np.ndarray]]:
+    """[(layer_name, weight_name, array)] in Keras storage order."""
+    import h5py
+    out = []
+    with h5py.File(h5_path, "r") as f:
+        group = f["model_weights"] if "model_weights" in f else f
+        layer_names = [n.decode() if isinstance(n, bytes) else n
+                       for n in group.attrs["layer_names"]]
+        for layer in layer_names:
+            g = group[layer]
+            weight_names = [n.decode() if isinstance(n, bytes) else n
+                            for n in g.attrs.get("weight_names", [])]
+            for wn in weight_names:
+                out.append((layer, wn, np.asarray(g[wn])))
+    return out
+
+
+def _ordered_leaves(tree: Any, prefix: Tuple[str, ...] = ()):
+    """Depth-first leaves with numeric-aware key ordering (flax names
+    modules Conv_0..Conv_10; plain sorting would misorder them)."""
+    if isinstance(tree, dict) or hasattr(tree, "items"):
+        for k in sorted(tree.keys(), key=_natural_key):
+            yield from _ordered_leaves(tree[k], prefix + (str(k),))
+    else:
+        yield prefix, tree
+
+
+def _transform(layer: str, weight_name: str,
+               arr: np.ndarray) -> List[Tuple[str, np.ndarray]]:
+    """Keras array -> [(slot_kind, array)] in assignment order."""
+    wn = weight_name.rsplit("/", 1)[-1].split(":")[0]
+    if "depthwise" in wn and arr.ndim == 4 and arr.shape[0] == 1 \
+            and arr.shape[-1] == 1:
+        # [1, k, C, 1] -> [k, 1, C]
+        return [("kernel", arr[0, :, :, 0][:, None, :])]
+    if wn == "recurrent_kernel":
+        u = arr.shape[0]
+        return [("recurrent_kernel_zr", arr[:, :2 * u]),
+                ("recurrent_kernel_h", arr[:, 2 * u:])]
+    if wn == "gamma":
+        return [("scale", arr)]
+    if wn == "beta":
+        return [("bias", arr)]
+    if wn == "moving_mean":
+        return [("mean", arr)]
+    if wn == "moving_variance":
+        return [("var", arr)]
+    return [(wn, arr)]
+
+
+def import_keras_hdf5(h5_path: str, variables: Dict[str, Any],
+                      ) -> Dict[str, Any]:
+    """Load a Keras checkpoint into initialized flax ``variables``.
+
+    Returns new variables ({'params': ..., 'batch_stats': ...}) with
+    every leaf replaced by the corresponding Keras weight.
+    """
+    sources: List[Tuple[str, str, np.ndarray]] = []
+    for layer, wn, arr in read_keras_weights(h5_path):
+        for kind, t in _transform(layer, wn, arr):
+            sources.append((layer, kind, t))
+
+    # target slots: params + batch_stats, module-order
+    param_slots = list(_ordered_leaves(variables.get("params", {})))
+    stat_slots = list(_ordered_leaves(variables.get("batch_stats", {})))
+
+    def kind_of(path: Tuple[str, ...]) -> str:
+        return path[-1]
+
+    assigned: Dict[Tuple[str, ...], np.ndarray] = {}
+    used = [False] * len(sources)
+    for path, leaf in param_slots + stat_slots:
+        want_kind = kind_of(path)
+        want_shape = tuple(leaf.shape)
+        hit = None
+        for i, (layer, kind, arr) in enumerate(sources):
+            if used[i]:
+                continue
+            if kind == want_kind and tuple(arr.shape) == want_shape:
+                hit = i
+                break
+        if hit is None:
+            raise ValueError(
+                f"no unused Keras weight matches {'/'.join(path)} "
+                f"kind={want_kind} shape={want_shape}")
+        assigned[path] = sources[hit][2]
+        used[hit] = True
+
+    leftovers = [f"{layer}/{kind}{list(arr.shape)}"
+                 for (layer, kind, arr), u in zip(sources, used) if not u]
+    if leftovers:
+        raise ValueError(f"unconsumed Keras weights: {leftovers}")
+
+    def rebuild(tree, prefix=()):
+        if isinstance(tree, dict) or hasattr(tree, "items"):
+            return {k: rebuild(tree[k], prefix + (str(k),))
+                    for k in tree.keys()}
+        import jax.numpy as jnp
+        return jnp.asarray(assigned[prefix], dtype=tree.dtype)
+
+    out = {"params": rebuild(variables.get("params", {}))}
+    if variables.get("batch_stats"):
+        out["batch_stats"] = rebuild(variables["batch_stats"])
+    return out
