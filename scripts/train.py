@@ -104,12 +104,8 @@ def main():
         state = restore_checkpoint(args.resume, state)
         print(f"resumed from {args.resume} at step {int(state.step)}")
 
-    int2label = {v: k for k, v in index.word_to_index.items()}
-    # ensure every class id has a name (unknown words share id 1)
-    int2label = {i: int2label.get(i, words[i] if i < len(words) else "?")
-                 for i in range(settings.label_count)}
-    for i, w in enumerate(words):
-        int2label[i] = w
+    # class ids map 1:1 onto the words list (unknown words all share id 1)
+    int2label = dict(enumerate(words))
     report = ConfusionReport(
         int2label=int2label,
         wanted_words=prepare_words_list(get_classes(wanted_only=True)),
