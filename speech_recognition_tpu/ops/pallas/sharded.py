@@ -11,11 +11,7 @@ from __future__ import annotations
 import functools
 
 import jax
-
-try:  # jax >= 0.4.35 top-level export; experimental path as fallback
-    from jax import shard_map
-except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map
+from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from speech_recognition_tpu.ops.pallas.augment_kernel import (
