@@ -143,3 +143,29 @@ def test_convert_32_to_12():
     pure[0, words.index("sheila")] = 1.0
     m = convert_32_to_12(pure)
     assert AUDIO_NAMES[m.argmax()] == "unknown"
+
+
+def test_speed_tta_weighting():
+    # make_submission.py:131-140: 6 variants summed / 10
+    tta = TTAConfig(use_tta=True, use_speed_tta=True)
+    pred, variables = _predictor(tta)
+    rng = np.random.default_rng(2)
+    wav = jnp.asarray(rng.uniform(-0.2, 0.2, (2, 16000)).astype(np.float32))
+    slow = jnp.asarray(rng.uniform(-0.2, 0.2, (2, 16000)).astype(np.float32))
+    got = np.asarray(pred.predict(variables, wav, slow))
+    p = [np.asarray(pred._jit_probs(variables, v)) for v in (
+        wav, jnp.roll(wav, -1500, axis=1), 1.2 * wav,
+        slow, jnp.clip(1.1 * slow, -1.0, 1.0), 0.9 * slow)]
+    want = sum(p) / 10.0
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # deliberately NOT a mean: rows sum to 6/10, reproducing the
+    # reference's down-weighting
+    np.testing.assert_allclose(got.sum(-1), 0.6, atol=1e-4)
+
+
+def test_speed_tta_without_slow_falls_back():
+    tta = TTAConfig(use_tta=True, use_speed_tta=True)
+    pred, variables = _predictor(tta)
+    wav = jnp.zeros((2, 16000))
+    probs = np.asarray(pred.predict(variables, wav, None))
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
