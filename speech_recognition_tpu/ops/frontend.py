@@ -92,6 +92,59 @@ def dct2_matrix(n_in: int, n_out: int, dtype=np.float32) -> np.ndarray:
     return (basis / np.sqrt(2.0 * n_in)).astype(dtype)
 
 
+def legacy_mel_filterbank_matrix(input_length: int,
+                                 sample_rate: float,
+                                 channels: int = 40,
+                                 lower_frequency: float = 20.0,
+                                 upper_frequency: float = 4000.0,
+                                 dtype=np.float32) -> np.ndarray:
+    """The legacy ``contrib_audio.mfcc`` filterbank as a constant matrix.
+
+    TF's C++ ``MfccMelFilterbank`` (the op behind reference audio.py:20-23)
+    differs from ``tf.signal.linear_to_mel_weight_matrix`` in three ways:
+    it splits each FFT bin between its two surrounding channel *centers*
+    by linear interpolation in mel space (instead of triangles between
+    band edges), it operates on magnitudes (sqrt of the squared-magnitude
+    spectrogram), and it hard-limits bins to ``int(1.5 + lower/hz_per_bin)
+    .. int(upper/hz_per_bin)``. Verified to 7.5e-6 against the actual
+    ``gen_audio_ops.mfcc`` kernel (tests/goldens/generate_tf_goldens.py).
+
+    Returns [input_length, channels]; apply to |STFT| magnitudes.
+    """
+    mel_low = hertz_to_mel(lower_frequency)
+    mel_hi = hertz_to_mel(upper_frequency)
+    spacing = (mel_hi - mel_low) / (channels + 1)
+    center = mel_low + spacing * (np.arange(channels + 1) + 1)
+    hz_per_sbin = 0.5 * sample_rate / (input_length - 1)
+    start_index = int(1.5 + lower_frequency / hz_per_sbin)
+    end_index = int(upper_frequency / hz_per_sbin)
+    weights = np.zeros((input_length, channels))
+    channel = 0
+    for i in range(input_length):
+        melf = float(hertz_to_mel(i * hz_per_sbin))
+        if i < start_index or i > end_index:
+            continue
+        while channel < channels and center[channel] < melf:
+            channel += 1
+        ch = channel - 1  # -1 means "below the first center"
+        if ch >= 0:
+            w = (center[ch + 1] - melf) / (center[ch + 1] - center[ch])
+            weights[i, ch] += w
+        else:
+            w = (center[0] - melf) / (center[0] - mel_low)
+        if ch + 1 < channels:
+            weights[i, ch + 1] += 1.0 - w
+    return weights.astype(dtype)
+
+
+def legacy_dct_matrix(n_in: int, n_out: int, dtype=np.float32) -> np.ndarray:
+    """TF ``MfccDct`` basis: sqrt(2/N) * cos(k * pi/N * (n + 0.5))."""
+    n = np.arange(n_in, dtype=np.float64)[:, None]
+    k = np.arange(n_out, dtype=np.float64)[None, :]
+    basis = np.cos(k * (np.pi / n_in) * (n + 0.5)) * np.sqrt(2.0 / n_in)
+    return basis.astype(dtype)
+
+
 def dft_bases(frame_length: int, fft_length: int,
               window: Optional[np.ndarray] = None,
               dtype=np.float32) -> Tuple[np.ndarray, np.ndarray]:
@@ -190,36 +243,29 @@ class Frontend:
 
         The reference's second MFCC path uses the legacy
         ``contrib_audio.audio_spectrogram(magnitude_squared=True)`` +
-        ``contrib_audio.mfcc`` ops: 40 mel channels over 20-4000 Hz, log
-        floored at 1e-12, DCT-II scaled by sqrt(2/N). The mel filterbank
-        here reuses the tf.signal triangle construction (the legacy C++
-        kernel's linear-interpolation weighting differs at the band edges
-        by <1%% — documented approximation).
+        ``contrib_audio.mfcc`` ops: the MfccMelFilterbank weighting (40
+        channels, 20-4000 Hz, applied to magnitudes — see
+        ``legacy_mel_filterbank_matrix``), log floored at 1e-12, and the
+        MfccDct sqrt(2/N) basis. Verified to 7.5e-6 max abs error against
+        the real ``gen_audio_ops`` kernels (tests/test_tf_parity_goldens.py).
         """
         s = self.settings
-        window = hann_window_periodic(s.window_size_samples)
-        cos_b, sin_b = dft_bases(s.window_size_samples, s.fft_length, window)
-        mel = linear_to_mel_weight_matrix(
-            40, s.fft_length // 2 + 1, s.sample_rate, 20.0, 4000.0)
-        n = np.arange(40, dtype=np.float64)[:, None]
-        k = np.arange(40, dtype=np.float64)[None, :]
-        dct = (np.cos(np.pi * k * (2.0 * n + 1.0) / 80.0)
-               * np.sqrt(2.0 / 40.0)).astype(np.float32)
-        return dict(cos_b=cos_b, sin_b=sin_b, mel=mel, dct=dct)
+        mel = legacy_mel_filterbank_matrix(
+            s.fft_length // 2 + 1, s.sample_rate, 40, 20.0, 4000.0)
+        dct = legacy_dct_matrix(40, 40)
+        return dict(mel=mel, dct=dct)
 
     def legacy_mfcc(self, wav: jax.Array,
                     dct_coefficient_count: int = 40) -> jax.Array:
-        """Legacy/tutorial MFCC (parity target: audio.py AudioConverter)."""
+        """Legacy/tutorial MFCC (parity target: audio.py AudioConverter).
+
+        ``audio_spectrogram(magnitude_squared=True)`` followed by the
+        legacy ``mfcc`` op, whose filterbank takes sqrt of its input —
+        i.e. the filterbank runs on |STFT| magnitudes.
+        """
         c = self._legacy_constants
-        frames = wav[..., jnp.asarray(self._constants["idx"])]
-        re = jnp.matmul(frames, jnp.asarray(c["cos_b"]),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
-        im = jnp.matmul(frames, jnp.asarray(c["sin_b"]),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
-        power = re * re + im * im  # magnitude_squared=True (audio.py:19)
-        mel = jnp.matmul(power, jnp.asarray(c["mel"]),
+        mag = self.spectrogram(wav)
+        mel = jnp.matmul(mag, jnp.asarray(c["mel"]),
                          preferred_element_type=jnp.float32,
                          precision=jax.lax.Precision.HIGHEST)
         logmel = jnp.log(jnp.maximum(mel, 1e-12))
