@@ -89,7 +89,7 @@ class Conv1DSimple(nn.Module):
             x = L.DepthwiseConvBlock(hidden, 3, padding="valid",
                                      strides=2)(x, train)
             x = L.DepthwiseConvBlock(hidden, 3, padding="valid")(x, train)
-        x = L.BiGRU(128, dropout=0.2)(x, train)
+        x = L.BiGRU(128, dropout=0.2, recurrent_dropout=0.2)(x, train)
         return L.Dense(self.num_classes)(x)
 
 
@@ -391,7 +391,7 @@ class XceptionWithAttention(nn.Module):
         att = L.DepthwiseConvBlock(1, 5, padding="same")(x, train)
         att = jax.nn.softmax(att, axis=1)  # over time (model.py:971)
         x = x * att
-        x = L.BiGRU(192, dropout=0.2)(x, train)
+        x = L.BiGRU(192, dropout=0.2, recurrent_dropout=0.2)(x, train)
         return L.Dense(self.num_classes)(x)
 
 
@@ -501,7 +501,7 @@ class Conv1DLearnedSpec(nn.Module):
 class Conv1DSpec(nn.Module):
     """Grouped conv ladder on the linear spectrogram (model.py:1249-1323).
 
-    Input: flat [B, 98*257]; the 257 bins are truncated to 252 for the
+    Input: flat [B, 98*257]; the 257 bins are sliced to 252 for the
     4-way grouping exactly like the reference (model.py:1306)."""
 
     num_classes: int
@@ -512,6 +512,8 @@ class Conv1DSpec(nn.Module):
     def __call__(self, x, train: bool = False):
         b = x.shape[0]
         x = x.reshape(b, self.time_size, self.frequency_size)
+        if self.frequency_size == 257:
+            x = x[..., :252]  # explicit 252-bin slice (model.py:1306)
         for w in (300, 360, 420, 480):
             x = L.ConvBN(w, (3,), strides=(2,), padding="valid", groups=4)(
                 _truncate_to_groups(x, 4), train)

@@ -56,6 +56,13 @@ def test_model_forward(name):
     variables = module.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         x, train=False)
+    # architecture equivalence: flax count == golden (== derived from the
+    # reference's layer arithmetic, tests/test_zoo_param_derivation.py)
+    from test_zoo_param_goldens import GOLDEN_PARAM_COUNTS
+    n = param_count(variables["params"])
+    assert n == GOLDEN_PARAM_COUNTS[name], (
+        f"{name}: flax param count {n:,} != golden "
+        f"{GOLDEN_PARAM_COUNTS[name]:,}")
     logits = module.apply(variables, x, train=False)
     assert logits.shape == (2, 12)
     assert np.isfinite(np.asarray(logits)).all()

@@ -23,7 +23,7 @@ GOLDEN_PARAM_COUNTS = {
     "conv_1d_multi_time_sliced": 437_522,
     "conv_1d_residual": 6_472_332,
     "conv_1d_simple": 540_587,
-    "conv_1d_spec": 1_041_612,
+    "conv_1d_spec": 1_040_712,
     "conv_1d_spectrogram": 812_814,
     "conv_1d_time_sliced": 1_271_008,
     "conv_1d_time_sliced_group": 686_340,
