@@ -75,6 +75,29 @@ def render_confusion(conf: np.ndarray, names: List[str]) -> str:
     return "\n".join(lines)
 
 
+class TensorBoardCallback:
+    """Streams every numeric epoch metric to a TensorBoard event file
+    (observability parity with the reference's TensorBoard callback,
+    train.py:64 / shipped logs_106/ event files).
+
+    Steps are epochs, matching Keras' per-epoch scalar cadence.
+    """
+
+    def __init__(self, logdir: str):
+        from speech_recognition_tpu.utils.tb_events import TBEventWriter
+        self.writer = TBEventWriter(logdir)
+
+    def on_epoch_end(self, epoch, state, logs):
+        scalars = {k: float(v) for k, v in logs.items()
+                   if isinstance(v, (int, float)) and np.isfinite(v)}
+        self.writer.add_scalars(epoch, scalars)
+        self.writer.flush()
+        return None
+
+    def close(self):
+        self.writer.close()
+
+
 class ConfusionReport:
     """Per-epoch validation report writer (parity: ConfusionMatrixCallback
     callbacks.py:13-83). Call ``write(epoch, conf, logs)`` after each
