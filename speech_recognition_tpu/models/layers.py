@@ -220,27 +220,28 @@ class GRU(nn.Module):
 
     Matches the Keras v1 GRU cell (reset_after=False, recurrent_activation
     hard_sigmoid): z/r gates from input+state, candidate from input and
-    r*state, new state = z*h + (1-z)*hh. The reference's dropout /
-    recurrent_dropout (model.py:148,973-974) is approximated by input
-    dropout only — variational dropout inside scan costs a [T, B, H] mask
-    with no accuracy evidence here; divergence documented.
+    r*state, new state = z*h + (1-z)*hh. ``dropout`` and
+    ``recurrent_dropout`` follow Keras 2.1.2 variational semantics
+    (model.py:148,973-974): three per-gate Bernoulli masks, each constant
+    across timesteps, on the inputs and on the recurrent state
+    respectively.
     """
 
     units: int
     return_sequences: bool = False
     reverse: bool = False
     dropout: float = 0.0
+    recurrent_dropout: float = 0.0
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         # x: [B, T, C]
-        if self.dropout > 0.0:
-            x = nn.Dropout(self.dropout, deterministic=not train)(x)
         u = self.units
         c = x.shape[-1]
-        # Explicit params (glorot input kernels, orthogonal-free recurrent
-        # kernels per flax defaults) so the recurrent step is plain jnp —
+        b = x.shape[0]
+        # Explicit params (glorot input kernels, orthogonal recurrent
+        # kernels per Keras defaults) so the recurrent step is plain jnp —
         # flax submodules cannot be invoked inside a raw lax.scan body.
         w_in = self.param("kernel", nn.initializers.glorot_uniform(),
                           (c, 3 * u))
@@ -249,22 +250,40 @@ class GRU(nn.Module):
                           nn.initializers.orthogonal(), (u, 2 * u))
         u_h = self.param("recurrent_kernel_h",
                          nn.initializers.orthogonal(), (u, u))
+
+        def _masks(rate, shape, rng):
+            keep = jax.random.bernoulli(rng, 1.0 - rate, shape)
+            return keep.astype(x.dtype) / (1.0 - rate)
+
         # Precompute input projections for all timesteps (one big matmul
         # that rides the MXU; the scan only does [B,H]x[H,H] updates).
-        xw = x @ w_in + b_in  # [B, T, 3u]
+        if train and self.dropout > 0.0:
+            # per-gate input masks, constant over time (Keras
+            # _generate_dropout_mask count=3)
+            m = _masks(self.dropout, (3, b, 1, c), self.make_rng("dropout"))
+            xw = jnp.concatenate(
+                [(x * m[i]) @ w_in[:, i * u:(i + 1) * u] for i in range(3)],
+                axis=-1) + b_in
+        else:
+            xw = x @ w_in + b_in  # [B, T, 3u]
+        if train and self.recurrent_dropout > 0.0:
+            rm = _masks(self.recurrent_dropout, (3, b, u),
+                        self.make_rng("dropout"))
+        else:
+            rm = jnp.ones((3, b, u), dtype=x.dtype)
         if self.reverse:
             xw = jnp.flip(xw, axis=1)
         xw_t = jnp.swapaxes(xw, 0, 1)  # [T, B, 3u]
 
         def step(h, xw_step):
-            gates_h = h @ u_zr  # [B, 2u]
-            z = hard_sigmoid(xw_step[..., :u] + gates_h[..., :u])
-            r = hard_sigmoid(xw_step[..., u:2 * u] + gates_h[..., u:])
-            hh = jnp.tanh(xw_step[..., 2 * u:] + (r * h) @ u_h)
+            z = hard_sigmoid(xw_step[..., :u] + (h * rm[0]) @ u_zr[:, :u])
+            r = hard_sigmoid(xw_step[..., u:2 * u]
+                             + (h * rm[1]) @ u_zr[:, u:])
+            hh = jnp.tanh(xw_step[..., 2 * u:] + (r * (h * rm[2])) @ u_h)
             h_new = z * h + (1.0 - z) * hh
             return h_new, h_new
 
-        h0 = jnp.zeros((x.shape[0], u), dtype=xw.dtype)
+        h0 = jnp.zeros((b, u), dtype=xw.dtype)
         h_last, hs = jax.lax.scan(step, h0, xw_t)
         if self.return_sequences:
             hs = jnp.swapaxes(hs, 0, 1)
@@ -278,14 +297,19 @@ class BiGRU(nn.Module):
     units: int
     return_sequences: bool = False
     dropout: float = 0.0
+    recurrent_dropout: float = 0.0
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         fwd = GRU(self.units, self.return_sequences, reverse=False,
-                  dropout=self.dropout, dtype=self.dtype)(x, train)
+                  dropout=self.dropout,
+                  recurrent_dropout=self.recurrent_dropout,
+                  dtype=self.dtype)(x, train)
         bwd = GRU(self.units, self.return_sequences, reverse=True,
-                  dropout=self.dropout, dtype=self.dtype)(x, train)
+                  dropout=self.dropout,
+                  recurrent_dropout=self.recurrent_dropout,
+                  dtype=self.dtype)(x, train)
         return jnp.concatenate([fwd, bwd], axis=-1)
 
 
