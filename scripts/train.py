@@ -47,6 +47,11 @@ def parse_args():
                    help="bfloat16 = mixed-precision forward/backward "
                         "(f32 master weights)")
     p.add_argument("--steps_per_epoch", type=int, default=0)
+    p.add_argument("--bn_recalibration_batches", type=int, default=0,
+                   help="re-estimate BatchNorm stats over N fresh batches "
+                        "before each validation sweep (recommended for "
+                        "schedules under ~1000 total steps, where the "
+                        "Keras-parity momentum 0.99 hasn't converged)")
     p.add_argument("--resume", default="",
                    help="checkpoint directory to resume from")
     return p.parse_args()
@@ -123,16 +128,23 @@ def main():
                 f.write(json.dumps(printable) + "\n")
             return None
 
+    from speech_recognition_tpu.train.metrics import TensorBoardCallback
     callbacks = [
         ReportCallback(),
         PlateauCallback(ReduceLROnPlateau(factor=0.5, patience=4,
                                           min_lr=1e-5, mode="max")),
         BestCheckpoint(f"checkpoints_{args.experiment}"),
+        # reference parity: TensorBoard(log_dir='logs_210') (train.py:64)
+        TensorBoardCallback(f"logs_{args.experiment}"),
     ]
     steps = args.steps_per_epoch or None
-    state, history = trainer.fit(state, epochs=args.epochs,
-                                 steps_per_epoch=steps,
-                                 callbacks=callbacks)
+    state, history = trainer.fit(
+        state, epochs=args.epochs, steps_per_epoch=steps,
+        callbacks=callbacks,
+        bn_recalibration_batches=args.bn_recalibration_batches)
+    if args.bn_recalibration_batches:
+        state = trainer.recalibrate_batch_stats(
+            state, args.bn_recalibration_batches)
     conf, val_loss = trainer.evaluate(state)
     from speech_recognition_tpu.train.metrics import accuracy
     print(f"final: val_loss={val_loss:.4f} val_acc={accuracy(conf):.4f}")

@@ -318,6 +318,55 @@ class Trainer:
             self.dataset, self._bank_chunks, self._bg_chunks, num_steps,
             unroll)
 
+    def _stats_step(self, state: TrainState, key: jax.Array,
+                    pseudo_frequency: jax.Array, ds: DeviceDataset,
+                    bank_chunks, bg_chunks):
+        """One train-mode forward; returns the *exact* batch statistics
+        recovered from flax's momentum update (ra' = m*ra + (1-m)*batch)."""
+        new_state, _ = self._train_step(state, key, pseudo_frequency, ds,
+                                        bank_chunks, bg_chunks)
+        m = 0.99  # layers.BN_MOMENTUM
+        return jax.tree_util.tree_map(
+            lambda new, old: (new - m * old) / (1.0 - m),
+            new_state.batch_stats, state.batch_stats)
+
+    def recalibrate_batch_stats(self, state: TrainState,
+                                num_batches: int = 16,
+                                key: Optional[jax.Array] = None,
+                                pseudo_frequency: Optional[float] = None,
+                                ) -> TrainState:
+        """Re-estimate BatchNorm running statistics by averaging exact
+        batch statistics over fresh training batches (classic BN
+        re-estimation, as used for SWA / short-schedule training).
+
+        Keras-parity momentum 0.99 needs O(1000) steps before the running
+        stats reflect the data; on shorter schedules eval-mode BN then
+        normalizes with near-init statistics and deep trunks collapse to
+        uniform logits. (The reference never hit this because its recipe
+        always runs ~17k steps, train.py:69-71.) This fixes eval quality
+        independent of schedule length: one pass sets the stats to the
+        sample average of per-batch mean/var.
+        """
+        if not state.batch_stats:
+            return state
+        if key is None:
+            key = jax.random.PRNGKey(self.seed + 7)
+        if pseudo_frequency is None:
+            pseudo_frequency = self.augment.pseudo_frequency
+        pf = jnp.asarray(pseudo_frequency, jnp.float32)
+        if not hasattr(self, "_jit_stats_step"):
+            self._jit_stats_step = jax.jit(self._stats_step)
+        total = None
+        for i in range(num_batches):
+            batch_stats = self._jit_stats_step(
+                state, jax.random.fold_in(key, i), pf, self.dataset,
+                self._bank_chunks, self._bg_chunks)
+            total = batch_stats if total is None else jax.tree_util.tree_map(
+                jnp.add, total, batch_stats)
+        mean_stats = jax.tree_util.tree_map(
+            lambda a: a / num_batches, total)
+        return state.replace(batch_stats=mean_stats)
+
     def evaluate(self, state: TrainState, mode: str = "validation",
                  ) -> Tuple[np.ndarray, float]:
         """Deterministic sweep; returns (confusion matrix, mean log loss).
@@ -343,7 +392,9 @@ class Trainer:
             steps_per_epoch: Optional[int] = None,
             callbacks: Iterable[Any] = (),
             pseudo_schedule: Optional[Callable[[int], float]] = None,
-            log_every: int = 0) -> Tuple[TrainState, Dict[str, list]]:
+            log_every: int = 0,
+            bn_recalibration_batches: int = 0,
+            ) -> Tuple[TrainState, Dict[str, list]]:
         """Epoch loop with per-epoch validation metrics.
 
         ``callbacks`` receive ``on_epoch_end(epoch, state, logs)`` and may
@@ -351,6 +402,9 @@ class Trainer:
         epoch -> pseudo_frequency (the reference sketched one at
         utils.py:41-49; see ``reference_pseudo_schedule``) without
         recompiling — the frequency is a traced scalar.
+        ``bn_recalibration_batches`` > 0 re-estimates BatchNorm running
+        statistics before each validation sweep (see
+        ``recalibrate_batch_stats``) — recommended for short schedules.
         """
         if steps_per_epoch is None:
             steps_per_epoch = max(
@@ -372,11 +426,19 @@ class Trainer:
                     m = {k: float(v) for k, v in metrics.items()}
                     print(f"  step {step + 1}/{steps_per_epoch}: {m}")
                 running = metrics
+            # block on the last step so epoch timing covers real work
+            # (dispatch is async; without this the wall time is bogus)
+            jax.block_until_ready(running["loss"])
             train_time = time.time() - t0
             logs = {k: float(v) for k, v in running.items()}
             logs["epoch_time_s"] = train_time
             logs["clips_per_sec"] = (
                 steps_per_epoch * self.batch_size / train_time)
+            if bn_recalibration_batches > 0:
+                state = self.recalibrate_batch_stats(
+                    state, bn_recalibration_batches,
+                    key=jax.random.fold_in(base_key, 100_000 + epoch),
+                    pseudo_frequency=pf)
             conf, val_loss = self.evaluate(state)
             logs["val_loss"] = val_loss
             logs["val_categorical_accuracy"] = M.accuracy(conf)
