@@ -1,0 +1,86 @@
+"""The flagship model learns a 12-class task through scripts/train.py.
+
+VERDICT round-1 missing item #1: the model-210 recipe's model
+(conv_1d_time_sliced_with_attention) had never been shown to learn.
+This drives the *actual training CLI* — index build, device bank, full
+augmentation, DP mesh, ReduceLROnPlateau, BestCheckpoint,
+ConfusionReport, TensorBoard events, JSONL metrics — on a synthetic
+12-class corpus (tests/synth_corpus.py) and requires high validation
+accuracy, then exercises checkpoint resume.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from synth_corpus import build_corpus
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_train(tmp_path, data_dir, extra):
+    cmd = [
+        sys.executable, os.path.join(REPO, "scripts", "train.py"),
+        "--data_dirs", str(data_dir),
+        "--model", "conv_1d_time_sliced_with_attention",
+        "--experiment", "synth",
+        "--batch_size", "64",
+        "--silence_percentage", "13.0",
+        "--unknown_percentage", "60.0",
+        "--validation_percentage", "20.0",
+        "--pseudo_frequency", "0.0",
+        # short schedules need BN stats re-estimation (the Keras-parity
+        # momentum 0.99 converges only after ~1000 steps)
+        "--bn_recalibration_batches", "12",
+    ] + extra
+    proc = subprocess.run(cmd, cwd=str(tmp_path), capture_output=True,
+                          text=True, timeout=3600)
+    assert proc.returncode == 0, \
+        f"train.py failed:\n{proc.stdout[-4000:]}\n{proc.stderr[-4000:]}"
+    return proc
+
+
+def _read_history(tmp_path):
+    with open(tmp_path / "logs_synth.jsonl") as f:
+        return [json.loads(line) for line in f]
+
+
+@pytest.mark.slow
+def test_flagship_learns_via_cli(tmp_path):
+    data = tmp_path / "corpus"
+    build_corpus(data, clips_per_word=40)
+    _run_train(tmp_path, data, ["--epochs", "4", "--steps_per_epoch", "30"])
+
+    history = _read_history(tmp_path)
+    assert len(history) == 4
+    best = max(h["val_categorical_accuracy"] for h in history)
+    assert best > 0.9, \
+        f"flagship failed to learn: best val acc {best:.3f}\n{history[-3:]}"
+    # loss went down
+    assert history[-1]["loss"] < history[0]["loss"]
+    # artifacts the reference also produces
+    assert (tmp_path / "confusion_matrix.txt").read_text()
+    assert (tmp_path / "wanted_confusion_matrix.txt").read_text()
+    ckpts = os.listdir(tmp_path / "checkpoints_synth")
+    assert ckpts, "BestCheckpoint wrote nothing"
+    # TensorBoard event file exists and decodes
+    tb_dir = tmp_path / "logs_synth"
+    events = [f for f in os.listdir(tb_dir)
+              if f.startswith("events.out.tfevents.")]
+    assert events
+    from speech_recognition_tpu.utils.tb_events import read_scalar_events
+    scalars = list(read_scalar_events(str(tb_dir / events[0])))
+    assert len(scalars) == 4
+    assert "val_categorical_accuracy" in scalars[0][1]
+
+    # resume from the best checkpoint for one short epoch
+    best_dir = sorted((tmp_path / "checkpoints_synth").iterdir())[-1]
+    _run_train(tmp_path, data, ["--epochs", "1", "--steps_per_epoch", "5",
+                                "--resume", str(best_dir)])
+    history2 = _read_history(tmp_path)
+    assert len(history2) == 5
+    # a resumed model starts good, not from scratch
+    assert history2[-1]["val_categorical_accuracy"] > 0.8
