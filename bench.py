@@ -5,10 +5,12 @@ flagship recipe (train.py:22-75: conv_1d_time_sliced_with_attention,
 batch 384, raw representation, full on-device augmentation incl.
 background mixing). Baseline: ~450 clips/s on the reference's K80.
 
-Runs on whatever accelerator jax exposes (the driver provides one real
-TPU chip). Uses a synthetic device-resident dataset so the benchmark
-measures the compute path, not disk I/O (the real data path stages the
-whole corpus into HBM once at startup, so steady-state behavior matches).
+Realism (VERDICT round-1 item 5): the synthetic bank matches the real
+corpus — 64,727 clips x 16000 samples int16 (~2 GB, ~4 GB with the
+doubled decode bank) and 6x60 s background clips — so HBM pressure and
+gather locality are representative of a real Speech Commands run. The
+one JSON line is the contract; supporting diagnostics (ms/step, MFU
+estimate from XLA's compiled FLOP count) go to stderr.
 """
 
 import json
@@ -18,6 +20,36 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 K80_BASELINE_CLIPS_PER_SEC = 450.0
+
+# Real-corpus scale (train.py:21, input_data.py:274-309)
+NUM_TRAIN = 64_727
+NUM_VAL = 6_798          # ~10% validation split
+NUM_PSEUDO = 4_096
+BACKGROUND_CLIPS = 6
+BACKGROUND_LEN = 16000 * 60
+
+# bf16 peak for TPU v5e (v5 lite); fp32 matmuls pass through the same MXU
+# with HIGHEST-precision multi-pass, so MFU is reported against bf16 peak
+# as a conservative utilization bound.
+V5E_BF16_PEAK_FLOPS = 197e12
+
+
+def _flops_per_step(trainer, state):
+    """XLA's own FLOP count for the compiled train step."""
+    try:
+        import jax
+        import jax.numpy as jnp
+        lowered = jax.jit(
+            trainer._train_step, donate_argnums=0).lower(
+            state, jax.random.PRNGKey(0), jnp.float32(0.5),
+            trainer.dataset, trainer._bank_chunks, trainer._bg_chunks)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) if cost else 0.0
+    except Exception as e:  # cost analysis is best-effort diagnostics
+        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+        return 0.0
 
 
 def main():
@@ -44,9 +76,14 @@ def main():
         label_count=12, window_size_ms=30.0, window_stride_ms=10.0,
         dct_coefficient_count=80, num_log_mel_features=60,
         output_representation="raw")
+    small = bool(os.environ.get("BENCH_SMALL"))  # CI / low-memory hosts
     dataset = synthetic_device_dataset(
-        num_train=4096, num_val=256, num_pseudo=256,
-        num_classes=12, background_len=16000 * 30)
+        num_train=4096 if small else NUM_TRAIN,
+        num_val=256 if small else NUM_VAL,
+        num_pseudo=256 if small else NUM_PSEUDO,
+        num_classes=12,
+        num_background=BACKGROUND_CLIPS,
+        background_len=16000 * 30 if small else BACKGROUND_LEN)
     trainer = Trainer(
         model_name="conv_1d_time_sliced_with_attention",
         settings=settings, dataset=dataset,
@@ -55,6 +92,20 @@ def main():
     state = trainer.init_state()
     result = benchmark_train(trainer, state, steps=100, warmup=10)
     value = result["clips_per_sec"]
+
+    flops = _flops_per_step(trainer, state)
+    diag = dict(result)
+    diag["bank_clips"] = int(dataset.wav_bank.shape[0])
+    diag["bank_gb"] = round(
+        dataset.wav_bank.size * 2 / 1e9, 2)
+    if flops:
+        achieved = flops / (result["ms_per_step"] / 1e3)
+        diag["flops_per_step"] = flops
+        diag["achieved_tflops"] = round(achieved / 1e12, 2)
+        diag["mfu_vs_bf16_peak"] = round(
+            achieved / V5E_BF16_PEAK_FLOPS, 4)
+    print(f"diagnostics: {json.dumps(diag)}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "train_clips_per_sec",
         "value": round(value, 1),
