@@ -24,9 +24,8 @@ def benchmark_train(trainer, state, steps: int = 100,
 
     Per-step dispatch with async pipelining (the same shape as the real
     epoch loop); blocked on the final step's metrics so the full chain is
-    measured. (A lax.scan variant exists — Trainer.train_many — but XLA
-    currently lowers the data-path slice gathers pathologically inside
-    scan on this toolchain; tracked for the Pallas kernel.)
+    measured. (A lax.scan variant was measured at 190 ms/step vs 1.4
+    ms/step for this path on real v5e and deleted — see train/loop.py.)
     """
     key = jax.random.PRNGKey(123)
     # keys precomputed like the production fit() loop (one split/epoch)

@@ -126,8 +126,6 @@ class Trainer:
         self.frontend = Frontend(s)
         self.representation = self.spec.representation
         self._jit_train_step = jax.jit(self._train_step, donate_argnums=0)
-        self._jit_train_many = jax.jit(self._train_many, donate_argnums=0,
-                                       static_argnums=(6, 7))
         self._jit_eval_step = jax.jit(self._eval_step)
 
     # -- setup ------------------------------------------------------------
@@ -282,41 +280,13 @@ class Trainer:
             state, key, jnp.asarray(pseudo_frequency, jnp.float32),
             self.dataset, self._bank_chunks, self._bg_chunks)
 
-    def _train_many(self, state: TrainState, key: jax.Array,
-                    pseudo_frequency: jax.Array, ds: DeviceDataset,
-                    bank_chunks, bg_chunks, num_steps: int,
-                    unroll: int = 1):
-        """num_steps train steps as ONE compiled lax.scan program.
+    # NOTE: a lax.scan "train_many" path existed through round 2 and was
+    # deleted after a head-to-head on real v5e: per-step dispatch 1.40
+    # ms/step vs 190 ms/step for the identical body under scan (the
+    # Pallas augment kernel included) -- XLA's scan lowering serializes
+    # the data path on this toolchain. Per-step async dispatch is the
+    # one code path.
 
-        Amortizes host dispatch (one launch per chunk instead of per
-        step); per-step metrics come back stacked. Note: on the current
-        toolchain the scanned program underutilizes the chip vs the
-        pipelined per-step loop (docs/ROADMAP.md item 2), so ``fit`` uses
-        per-step dispatch.
-        """
-        keys = jax.random.split(key, num_steps)
-
-        def body(state, step_key):
-            new_state, metrics = self._train_step(
-                state, step_key, pseudo_frequency, ds, bank_chunks,
-                bg_chunks)
-            return new_state, metrics
-
-        return jax.lax.scan(body, state, keys, unroll=unroll)
-
-    def train_many(self, state: TrainState, key: jax.Array,
-                   num_steps: int,
-                   pseudo_frequency: Optional[float] = None,
-                   unroll: int = 1):
-        """Run ``num_steps`` steps in one device program; returns
-        (state, stacked metrics). ``unroll`` > 1 lets XLA overlap
-        adjacent steps inside the scan."""
-        if pseudo_frequency is None:
-            pseudo_frequency = self.augment.pseudo_frequency
-        return self._jit_train_many(
-            state, key, jnp.asarray(pseudo_frequency, jnp.float32),
-            self.dataset, self._bank_chunks, self._bg_chunks, num_steps,
-            unroll)
 
     def _stats_step(self, state: TrainState, key: jax.Array,
                     pseudo_frequency: jax.Array, ds: DeviceDataset,
