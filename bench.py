@@ -88,7 +88,8 @@ def main():
         model_name="conv_1d_time_sliced_with_attention",
         settings=settings, dataset=dataset,
         augment=AugmentConfig(pseudo_frequency=0.6),
-        batch_size=384)
+        batch_size=384,
+        compute_dtype=os.environ.get("BENCH_DTYPE", "auto"))
     state = trainer.init_state()
     result = benchmark_train(trainer, state, steps=100, warmup=10)
     value = result["clips_per_sec"]

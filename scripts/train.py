@@ -42,10 +42,11 @@ def parse_args():
     p.add_argument("--testing_percentage", type=float, default=0.0)
     p.add_argument("--pseudo_frequency", type=float, default=0.6)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--compute_dtype", default="float32",
-                   choices=["float32", "bfloat16"],
+    p.add_argument("--compute_dtype", default="auto",
+                   choices=["auto", "float32", "bfloat16"],
                    help="bfloat16 = mixed-precision forward/backward "
-                        "(f32 master weights)")
+                        "(f32 master weights); auto = bfloat16 on TPU, "
+                        "float32 elsewhere")
     p.add_argument("--steps_per_epoch", type=int, default=0)
     p.add_argument("--bn_recalibration_batches", type=int, default=0,
                    help="re-estimate BatchNorm stats over N fresh batches "
