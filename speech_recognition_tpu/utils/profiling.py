@@ -31,6 +31,68 @@ def trace_context(log_dir: str) -> Iterator[None]:
         jax.profiler.stop_trace()
 
 
+def summarize_trace(log_dir: str, num_steps: Optional[int] = None) -> Dict:
+    """Parse a ``trace_context`` capture into device-time truth.
+
+    Reads the Chrome-trace json.gz that ``jax.profiler`` writes alongside
+    the xplane and aggregates device busy time per XLA module and per op
+    category. This is how wall-clock claims get corroborated on hardware
+    where sub-10 ms wall timings are unreliable (docs/ROADMAP.md):
+    module totals are device-side measurements, not host timing.
+
+    Returns {"modules": {name: {"total_ms", "count", "ms_per_exec"}},
+             "ops": {name: total_ms}, "device_busy_ms": float,
+             "ms_per_step": float (if num_steps given)}.
+    """
+    import collections
+    import glob
+    import gzip
+    import json
+    import os
+
+    paths = sorted(glob.glob(
+        os.path.join(log_dir, "**", "*.trace.json.gz"), recursive=True))
+    if not paths:
+        raise FileNotFoundError(f"no trace.json.gz under {log_dir}")
+    with gzip.open(paths[-1]) as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    threads = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            threads[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
+
+    def _named(track):
+        return [e for e in events if e.get("ph") == "X"
+                and threads.get((e["pid"], e.get("tid"))) == track]
+
+    modules: Dict[str, Dict[str, float]] = {}
+    mod_total = collections.Counter()
+    mod_count = collections.Counter()
+    for e in _named("XLA Modules"):
+        name = e["name"].split(".")[0]
+        mod_total[name] += e["dur"]
+        mod_count[name] += 1
+    for name in mod_total:
+        modules[name] = {
+            "total_ms": mod_total[name] / 1e3,
+            "count": mod_count[name],
+            "ms_per_exec": mod_total[name] / 1e3 / mod_count[name],
+        }
+    ops = collections.Counter()
+    for e in _named("XLA Ops"):
+        ops[e["name"].split(".")[0]] += e["dur"]
+    busy_ms = sum(mod_total.values()) / 1e3
+    out = {
+        "modules": modules,
+        "ops": {k: v / 1e3 for k, v in ops.most_common(20)},
+        "device_busy_ms": busy_ms,
+    }
+    if num_steps:
+        out["ms_per_step"] = busy_ms / num_steps
+    return out
+
+
 class StepTimer:
     """Rolling step timing -> clips/sec/chip (the BASELINE.json metric)."""
 

@@ -107,3 +107,33 @@ def test_full_cli_chain(tmp_path):
     with open(tmp_path / "rpi.csv") as f:
         rows = list(csv.DictReader(f))
     assert len(rows) == 6
+
+    # --- distillation loop (reference README.md:98-135):
+    # ensemble probs -> threshold pseudo-labels -> retrain with mixing
+    pseudo_dir = tmp_path / "pseudo"
+    r = _run([f"{REPO}/scripts/pseudo_labels.py", "threshold",
+              "--submission_csv", str(tmp_path / "sub.csv"),
+              "--memmap", str(tmp_path / "sub_probs.uint8.memmap"),
+              "--test_dir", str(test_dir),
+              "--out_dir", str(pseudo_dir),
+              "--prob_thresh", "0.3"], cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "pseudo labels created" in r.stdout
+    copied = [f for d in pseudo_dir.iterdir() if d.is_dir()
+              for f in os.listdir(d)]
+    assert copied, "threshold pseudo-labeling copied nothing"
+
+    r = _run([f"{REPO}/scripts/train.py",
+              "--data_dirs", str(train_dir), str(pseudo_dir),
+              "--model", "conv_2d_fast",
+              "--output_representation", "mfcc",
+              "--num_log_mel_features", "40",
+              "--epochs", "1", "--batch_size", "8",
+              "--experiment", "it2",
+              "--pseudo_frequency", "0.5",
+              "--silence_percentage", "10",
+              "--unknown_percentage", "20",
+              "--validation_percentage", "25"], cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    # pseudo partition was discovered (clips without _nohash_ -> pseudo)
+    assert "pseudo" in r.stdout.lower()
