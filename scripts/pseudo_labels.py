@@ -28,6 +28,9 @@ def main():
     t.add_argument("--test_dir", default="data/test/audio")
     t.add_argument("--out_dir", default="data/heng_pseudo")
     t.add_argument("--prob_thresh", type=float, default=0.7)
+    t.add_argument("--silence_group", type=int, default=30,
+                   help="silence clips concatenated per synthetic "
+                        "background WAV (create_pseudo_with_thresh.py:50)")
 
     v = sub.add_parser("vote", help="majority vote (majority_vote.py)")
     v.add_argument("--submissions", nargs="+", required=True)
@@ -60,7 +63,8 @@ def main():
         probs = read_uint8_memmap(args.memmap, len(fnames))
         stats = pseudo_by_threshold(fnames, probs, args.test_dir,
                                     args.out_dir,
-                                    prob_thresh=args.prob_thresh)
+                                    prob_thresh=args.prob_thresh,
+                                    silence_group=args.silence_group)
         print(f"{stats['created']} pseudo labels created; "
               f"{stats['low_prob']} below threshold")
     elif args.cmd == "vote":

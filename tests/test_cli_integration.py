@@ -109,14 +109,20 @@ def test_full_cli_chain(tmp_path):
     assert len(rows) == 6
 
     # --- distillation loop (reference README.md:98-135):
-    # ensemble probs -> threshold pseudo-labels -> retrain with mixing
+    # ensemble probs -> threshold pseudo-labels -> retrain with mixing.
+    # The 1-epoch model's confidence is arbitrary, so the test thresholds
+    # at 0.08 < 1/12 (a 12-class softmax max is always >= 1/12, and the
+    # uint8 quantization floor round(255/12)/255 = 0.0824 still clears
+    # it) and groups silence 1-per-WAV: every clip deterministically
+    # yields an output file, making this exercise plumbing, not luck.
     pseudo_dir = tmp_path / "pseudo"
     r = _run([f"{REPO}/scripts/pseudo_labels.py", "threshold",
               "--submission_csv", str(tmp_path / "sub.csv"),
               "--memmap", str(tmp_path / "sub_probs.uint8.memmap"),
               "--test_dir", str(test_dir),
               "--out_dir", str(pseudo_dir),
-              "--prob_thresh", "0.3"], cwd=str(tmp_path))
+              "--prob_thresh", "0.08",
+              "--silence_group", "1"], cwd=str(tmp_path))
     assert r.returncode == 0, r.stderr[-2000:]
     assert "pseudo labels created" in r.stdout
     copied = [f for d in pseudo_dir.iterdir() if d.is_dir()
