@@ -49,7 +49,6 @@ def predict_directory(predictor, variables, test_dir: str,
     reference's loop serializes per-file session decode with GPU predict
     (make_submission.py:86-144).
     """
-    import jax.numpy as jnp
     fns = list_test_files(test_dir)
     tta_fns = None
     if tta_dir is not None:
@@ -57,21 +56,26 @@ def predict_directory(predictor, variables, test_dir: str,
     n = len(fns)
     starts = list(range(0, n, batch_size))
 
+    import jax
+
     def decode_chunk(start):
+        # packed int16 all the way to the device: the 1/32768 decode runs
+        # in the predictor's XLA program (half the host->device bytes),
+        # and the upload starts on this worker thread (device_put is
+        # async) so transfer overlaps the previous batch's compute
         chunk = fns[start:start + batch_size]
         pad = batch_size - len(chunk)
         wav = decode_batch_int16(chunk, desired_samples)
-        wav = wav.astype(np.float32) / 32768.0
         if pad:
             wav = np.pad(wav, ((0, pad), (0, 0)))
         slow = None
         if tta_fns is not None:
             slow_chunk = tta_fns[start:start + batch_size]
             slow = decode_batch_int16(slow_chunk, desired_samples)
-            slow = slow.astype(np.float32) / 32768.0
             if pad:
                 slow = np.pad(slow, ((0, pad), (0, 0)))
-        return wav, slow, pad
+            slow = jax.device_put(slow)
+        return jax.device_put(wav), slow, pad
 
     from concurrent.futures import ThreadPoolExecutor
     pending = []  # (device probs, pad) — converted after the loop
@@ -82,10 +86,8 @@ def predict_directory(predictor, variables, test_dir: str,
             wav, slow, pad = futures[i].result()
             if i + depth < len(starts):
                 futures.append(ex.submit(decode_chunk, starts[i + depth]))
-            if slow is not None:
-                slow = jnp.asarray(slow)
             # async dispatch: the device computes while the pool decodes
-            probs = predictor.predict(variables, jnp.asarray(wav), slow)
+            probs = predictor.predict(variables, wav, slow)
             pending.append((probs, pad))
             if progress:
                 print(f"  {min(start + batch_size, n)}/{n}")

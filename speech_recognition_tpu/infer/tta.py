@@ -60,10 +60,22 @@ class Predictor:
         logits = self.module.apply(variables, x, train=False)
         return jax.nn.softmax(logits, axis=-1)
 
+    @staticmethod
+    def _decode(wav):
+        """Accept packed int16 PCM and decode on device (1/32768): the
+        host->device transfer is the submission bottleneck, so callers
+        ship half the bytes and the scale rides the same XLA program."""
+        if wav.dtype == jnp.int16:
+            return wav.astype(jnp.float32) / 32768.0
+        return wav
+
     def _probs(self, variables, wav):
-        return self._apply(variables, wav)
+        return self._apply(variables, self._decode(wav))
 
     def _probs_tta(self, variables, wav, slow_wav=None):
+        wav = self._decode(wav)
+        if slow_wav is not None:
+            slow_wav = self._decode(slow_wav)
         b = wav.shape[0]
         variants = [
             wav,

@@ -51,6 +51,19 @@ def test_predictor_probs_sum_to_one():
     np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
 
 
+def test_int16_input_matches_float32():
+    """Packed int16 PCM decodes on device (1/32768) to the same probs as
+    pre-scaled float32 input — the submission path ships int16 to halve
+    host->device bytes."""
+    pred, variables = _predictor(TTAConfig(use_tta=True))
+    ints = np.random.default_rng(2).integers(
+        -3000, 3000, (3, 16000)).astype(np.int16)
+    p_i16 = np.asarray(pred.predict(variables, jnp.asarray(ints)))
+    p_f32 = np.asarray(pred.predict(
+        variables, jnp.asarray(ints.astype(np.float32) / 32768.0)))
+    np.testing.assert_allclose(p_i16, p_f32, atol=1e-6)
+
+
 def test_tta_is_mean_of_variants():
     tta = TTAConfig(use_tta=True)
     pred, variables = _predictor(tta)
