@@ -182,10 +182,46 @@ class GroupedDepthwiseBlock(nn.Module):
         return relu6(x)
 
 
+def _max_pool_axis(x: jax.Array, pool: int, strides: int, padding: str,
+                   axis: int) -> jax.Array:
+    """Max pooling along one axis as a maximum-chain of strided slices.
+
+    Forward-identical to ``lax.reduce_window(max)`` (flax nn.max_pool),
+    but its VJP is a chain of elementwise selects instead of XLA's
+    ``select-and-scatter`` — which profiling showed costs ~17% of a
+    pool-heavy train step on TPU v5e (select-and-scatter does not
+    vectorize well there). Tie handling in the *gradient* differs:
+    equal maxima split the cotangent instead of winner-takes-first;
+    exact float ties are measure-zero under augmentation noise.
+    """
+    t = x.shape[axis]
+    if padding.upper() == "SAME":
+        out = -(-t // strides)
+        pad_total = max(0, (out - 1) * strides + pool - t)
+        pad_lo = pad_total // 2
+        pad_hi = pad_total - pad_lo
+    else:
+        out = (t - pool) // strides + 1
+        pad_lo = pad_hi = 0
+    if pad_lo or pad_hi:
+        pads = [(0, 0, 0)] * x.ndim
+        pads[axis] = (pad_lo, pad_hi, 0)
+        x = jax.lax.pad(x, jnp.asarray(-jnp.inf, x.dtype), pads)
+
+    def tap(i):
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(i, i + (out - 1) * strides + 1, strides)
+        return x[tuple(idx)]
+
+    y = tap(0)
+    for i in range(1, pool):
+        y = jnp.maximum(y, tap(i))
+    return y
+
+
 def max_pool_1d(x: jax.Array, pool: int = 3, strides: int = 2,
                 padding: str = "valid") -> jax.Array:
-    return nn.max_pool(x, window_shape=(pool,), strides=(strides,),
-                       padding=_padding(padding))
+    return _max_pool_axis(x, pool, strides, padding, axis=1)
 
 
 def avg_pool_1d(x: jax.Array, pool: int = 3, strides: int = 1,
@@ -196,9 +232,10 @@ def avg_pool_1d(x: jax.Array, pool: int = 3, strides: int = 1,
 
 def max_pool_2d(x: jax.Array, pool=(2, 2), strides=None,
                 padding: str = "valid") -> jax.Array:
+    # separable: max over a rectangle == max over rows, then columns
     strides = strides or pool
-    return nn.max_pool(x, window_shape=tuple(pool), strides=tuple(strides),
-                       padding=_padding(padding))
+    x = _max_pool_axis(x, pool[0], strides[0], padding, axis=1)
+    return _max_pool_axis(x, pool[1], strides[1], padding, axis=2)
 
 
 def global_avg_pool(x: jax.Array) -> jax.Array:
