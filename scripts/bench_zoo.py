@@ -24,7 +24,7 @@ DEFAULT_MODELS = [
     "conv_1d_residual",                    # deep residual raw trunk
     "conv_1d_multi_time_sliced",           # multi-rate reshape branches
     "conv_1d_fast",                        # learned filterbank + grouped
-    "conv_1d_inception",                   # inception blocks
+    "inception",                           # inception blocks
     "steffeNet",                           # wide strided residual
     "conv_1d_gru",                         # strided depthwise stem
     "conv_2d_fast",                        # log-mel 2-D CNN (mfcc)
