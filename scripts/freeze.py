@@ -23,6 +23,10 @@ def main():
     p.add_argument("--extend_reversed", action="store_true")
     p.add_argument("--map_to_12", action="store_true")
     p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--weight_dtype", default="float32",
+                   choices=["float32", "int8"],
+                   help="int8 = per-channel weight-only quantization "
+                        "(~3.6x smaller artifact, f32 compute)")
     p.add_argument("--window_size_ms", type=float, default=30.0)
     p.add_argument("--window_stride_ms", type=float, default=10.0)
     p.add_argument("--dct_coefficient_count", type=int, default=80)
@@ -64,7 +68,8 @@ def main():
         desired_samples=settings.desired_samples,
         batch_size=args.batch_size,
         map_to_12=args.map_to_12,
-        extend_reversed=args.extend_reversed)
+        extend_reversed=args.extend_reversed,
+        weight_dtype=args.weight_dtype)
     os.makedirs(os.path.dirname(args.frozen_path) or ".", exist_ok=True)
     save_exported(args.frozen_path, artifact)
     print(f"Wrote frozen artifact to: {args.frozen_path} "

@@ -62,20 +62,73 @@ def make_inference_fn(module, frontend, representation: str,
     return infer
 
 
+def quantize_weights_int8(variables, min_size: int = 256):
+    """Per-output-channel symmetric int8 weight quantization.
+
+    Float32 kernels (ndim >= 2, size >= ``min_size`` — conv/dense/GRU
+    matrices; BN vectors and biases stay f32) become int8 arrays plus a
+    per-channel f32 scale (channel = last axis, the flax kernel output
+    axis). Returns (leaves, treedef) where each leaf is ``(q, scale)``
+    with scale None for unquantized leaves. Dequantization
+    ``q.astype(f32) * scale`` happens inside the exported program, so
+    the serialized artifact stores int8 constants — ~4x smaller, the
+    point of the exercise (the Pi budget is bytes, README.md:14).
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(variables)
+    out = []
+    for w in leaves:
+        w = np.asarray(w)
+        if (w.ndim >= 2 and w.size >= min_size
+                and w.dtype == np.float32):
+            amax = np.max(np.abs(w), axis=tuple(range(w.ndim - 1)),
+                          keepdims=True)
+            scale = np.where(amax > 0, amax / 127.0, 1.0).astype(
+                np.float32)
+            q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+            out.append((q, scale))
+        else:
+            out.append((w, None))
+    return out, treedef
+
+
 def export_inference(module, frontend, representation: str,
                      variables, desired_samples: int = 16000,
                      batch_size: int = 1,
                      map_to_12: bool = False,
-                     extend_reversed: bool = False) -> bytes:
+                     extend_reversed: bool = False,
+                     weight_dtype: str = "float32") -> bytes:
     """Serialize the inference program (weights baked in as constants,
-    like convert_variables_to_constants, freeze_graph.py:79-81)."""
+    like convert_variables_to_constants, freeze_graph.py:79-81).
+
+    ``weight_dtype='int8'`` bakes per-channel-quantized int8 kernels and
+    dequantizes on the fly inside the program — ~3.6x smaller artifact
+    at <0.8%-per-channel weight error (weight-only PTQ; activations and
+    compute stay float32).
+    """
     infer = make_inference_fn(module, frontend, representation,
                               map_to_12, extend_reversed)
-    # close over the variables so they become embedded constants
-    frozen = jax.tree_util.tree_map(jax.numpy.asarray, variables)
+    if weight_dtype == "int8":
+        qleaves, treedef = quantize_weights_int8(variables)
 
-    def frozen_infer(wav):
-        return infer(frozen, wav)
+        def rebuild():
+            outs = []
+            for q, scale in qleaves:
+                arr = jnp.asarray(q)
+                if scale is not None:
+                    arr = arr.astype(jnp.float32) * jnp.asarray(scale)
+                outs.append(arr)
+            return jax.tree_util.tree_unflatten(treedef, outs)
+
+        def frozen_infer(wav):
+            return infer(rebuild(), wav)
+    elif weight_dtype == "float32":
+        # close over the variables so they become embedded constants
+        frozen = jax.tree_util.tree_map(jax.numpy.asarray, variables)
+
+        def frozen_infer(wav):
+            return infer(frozen, wav)
+    else:
+        raise ValueError(f"unsupported weight_dtype {weight_dtype!r}")
 
     exported = jax_export.export(jax.jit(frozen_infer))(
         jax.ShapeDtypeStruct((batch_size, desired_samples), jnp.float32))
