@@ -77,6 +77,11 @@ def main():
     print("top ops:")
     for name, ms in list(summary["ops"].items())[:10]:
         print(f"  {name[:56]:<56s} {ms:9.2f} ms")
+    print("top individual ops (source-attributed):")
+    for d in summary["detail"][:12]:
+        src = d["source"].replace("/root/repo/", "")
+        print(f"  {d['op'][:34]:<34s} {d['total_ms']:8.2f} ms  "
+              f"{d['category'][:22]:<22s} {src}")
 
 
 if __name__ == "__main__":

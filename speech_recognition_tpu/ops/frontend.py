@@ -187,10 +187,20 @@ class Frontend:
 
     All methods take float32 waveforms [B, desired_samples] and are safe
     under jit/pjit (constants are closed-over numpy arrays).
+
+    ``precision`` controls the MXU pass count of the frontend matmuls.
+    The default HIGHEST meets the float32-parity requirement (the
+    tf.signal goldens, tests/test_tf_parity_goldens.py). Training may
+    use 'fastest' (single-pass bf16 inputs, f32 accumulate): profiling
+    showed the two HIGHEST DFT matmuls cost ~0.7 ms/step at batch 384 —
+    a quarter of an mfcc-model step — while the ~1e-2 absolute feature
+    error is far below augmentation noise; export/inference paths keep
+    HIGHEST so deployed features stay parity-exact.
     """
 
     settings: ModelSettings
     compute_dtype: jnp.dtype = jnp.float32
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
 
     @functools.cached_property
     def _constants(self):
@@ -216,10 +226,10 @@ class Frontend:
         # The frontend is a tiny share of total FLOPs, so this is cheap.
         re = jnp.matmul(frames, jnp.asarray(c["cos_b"]),
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=self.precision)
         im = jnp.matmul(frames, jnp.asarray(c["sin_b"]),
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=self.precision)
         return jnp.sqrt(re * re + im * im)
 
     def log_mel(self, wav: jax.Array) -> jax.Array:
@@ -227,7 +237,7 @@ class Frontend:
         spec = self.spectrogram(wav)
         mel = jnp.matmul(spec, jnp.asarray(self._constants["mel"]),
                          preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
+                         precision=self.precision)
         return jnp.log(mel + LOG_OFFSET)
 
     def mfcc(self, wav: jax.Array) -> jax.Array:
@@ -235,7 +245,7 @@ class Frontend:
         return jnp.matmul(self.log_mel(wav),
                           jnp.asarray(self._constants["dct"]),
                           preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
+                          precision=self.precision)
 
     @functools.cached_property
     def _legacy_constants(self):
@@ -267,11 +277,11 @@ class Frontend:
         mag = self.spectrogram(wav)
         mel = jnp.matmul(mag, jnp.asarray(c["mel"]),
                          preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
+                         precision=self.precision)
         logmel = jnp.log(jnp.maximum(mel, 1e-12))
         dct = jnp.asarray(c["dct"][:, :dct_coefficient_count])
         return jnp.matmul(logmel, dct, preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
+                          precision=self.precision)
 
     def load_legacy_mfcc_file(self, filename: str) -> jax.Array:
         """File -> tutorial MFCC [frames, 40] (parity: audio.py

@@ -86,6 +86,13 @@ class Trainer:
     # float32 elsewhere — validated convergence-equal on the synthetic
     # 12-class harness (val acc 1.0 both, val loss 0.0877 vs 0.0915).
     compute_dtype: str = "auto"
+    # Frontend matmul precision for the mfcc/spec data path. 'highest'
+    # is the parity-exact default everywhere outside training; 'auto'
+    # follows compute_dtype (bfloat16 -> single-pass 'fastest': the two
+    # HIGHEST DFT matmuls cost ~0.7 ms/step at batch 384, a quarter of
+    # an mfcc-model step, for feature error ~1e-2 — far below
+    # augmentation noise). Export/inference paths keep HIGHEST.
+    frontend_precision: str = "auto"
 
     def __post_init__(self):
         if self.compute_dtype == "auto":
@@ -130,7 +137,14 @@ class Trainer:
             desired_samples=s.desired_samples,
             window_size_samples=s.window_size_samples,
             window_stride_samples=s.window_stride_samples)
-        self.frontend = Frontend(s)
+        fp = self.frontend_precision
+        if fp == "auto":
+            fp = ("fastest" if self.compute_dtype == "bfloat16"
+                  else "highest")
+        self.frontend = Frontend(s, precision={
+            "highest": jax.lax.Precision.HIGHEST,
+            "fastest": jax.lax.Precision.DEFAULT,
+        }[fp])
         self.representation = self.spec.representation
         self._jit_train_step = jax.jit(self._train_step, donate_argnums=0)
         self._jit_eval_step = jax.jit(self._eval_step)

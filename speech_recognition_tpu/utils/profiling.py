@@ -80,12 +80,25 @@ def summarize_trace(log_dir: str, num_steps: Optional[int] = None) -> Dict:
             "ms_per_exec": mod_total[name] / 1e3 / mod_count[name],
         }
     ops = collections.Counter()
+    det_dur = collections.Counter()
+    det_meta: Dict[str, Dict[str, str]] = {}
     for e in _named("XLA Ops"):
         ops[e["name"].split(".")[0]] += e["dur"]
+        det_dur[e["name"]] += e["dur"]
+        if e["name"] not in det_meta:
+            args = e.get("args", {})
+            det_meta[e["name"]] = {
+                "source": args.get("source", ""),
+                "category": args.get("hlo_category", ""),
+                "flops": args.get("model_flops", ""),
+            }
     busy_ms = sum(mod_total.values()) / 1e3
+    detail = [dict(op=name, total_ms=d / 1e3, **det_meta[name])
+              for name, d in det_dur.most_common(15)]
     out = {
         "modules": modules,
         "ops": {k: v / 1e3 for k, v in ops.most_common(20)},
+        "detail": detail,
         "device_busy_ms": busy_ms,
     }
     if num_steps:

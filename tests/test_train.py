@@ -84,6 +84,31 @@ def _tiny_trainer(model_name="conv_2d_fast", batch=16):
                    augment=aug, batch_size=batch, mesh=make_mesh())
 
 
+def test_frontend_precision_policy():
+    """'auto' follows compute_dtype; explicit values win. The parity
+    default (HIGHEST) must hold everywhere outside bf16 training."""
+    settings = prepare_model_settings(
+        label_count=12, window_size_ms=30.0, window_stride_ms=10.0,
+        dct_coefficient_count=80, num_log_mel_features=40,
+        output_representation="mfcc")
+    ds = synthetic_device_dataset(num_train=64, num_val=32, num_pseudo=8)
+
+    def make(**kw):
+        return Trainer(model_name="conv_2d_fast", settings=settings,
+                       dataset=ds, augment=AugmentConfig(), batch_size=8,
+                       mesh=make_mesh(), **kw)
+
+    # CPU tests run compute_dtype float32 -> auto resolves to HIGHEST
+    assert make().frontend.precision == jax.lax.Precision.HIGHEST
+    assert (make(compute_dtype="bfloat16").frontend.precision
+            == jax.lax.Precision.DEFAULT)
+    assert (make(compute_dtype="bfloat16",
+                 frontend_precision="highest").frontend.precision
+            == jax.lax.Precision.HIGHEST)
+    assert (make(frontend_precision="fastest").frontend.precision
+            == jax.lax.Precision.DEFAULT)
+
+
 def test_train_step_runs_and_learns_shape():
     trainer = _tiny_trainer()
     state = trainer.init_state()
