@@ -43,19 +43,30 @@ class TTAConfig:
 
 
 class Predictor:
-    """Jitted softmax predictor for a trained zoo model."""
+    """Jitted softmax predictor for a trained zoo model.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — batches (and the folded
+    TTA variant axis) shard across the data axis, params replicate, and
+    XLA runs the sweep data-parallel over all chips. Batch size must
+    divide by the mesh size.
+    """
 
     def __init__(self, module, settings: ModelSettings,
-                 representation: str, tta: TTAConfig = TTAConfig()):
+                 representation: str, tta: TTAConfig = TTAConfig(),
+                 mesh=None):
         self.module = module
         self.settings = settings
         self.representation = representation
         self.tta = tta
+        self.mesh = mesh
         self.frontend = Frontend(settings)
         self._jit_probs = jax.jit(self._probs)
         self._jit_probs_tta = jax.jit(self._probs_tta)
 
     def _apply(self, variables, wav):
+        if self.mesh is not None:
+            from speech_recognition_tpu.parallel.mesh import constrain_batch
+            wav = constrain_batch(wav, self.mesh)
         x = self.frontend.features(wav, self.representation)
         logits = self.module.apply(variables, x, train=False)
         return jax.nn.softmax(logits, axis=-1)

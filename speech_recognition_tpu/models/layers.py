@@ -13,9 +13,12 @@ Design notes vs the reference (model.py):
   * Models emit *logits*; the softmax lives in the loss / inference head
     (numerically better than the reference's softmax-then-log loss,
     utils.py:87-108 — divergence documented there).
-  * BatchNorm uses Keras defaults (momentum 0.99, eps 1e-3) with
-    per-replica statistics under data parallelism (the reference is
-    single-device; `axis_name` can be passed for cross-replica stats).
+  * BatchNorm uses Keras defaults (momentum 0.99, eps 1e-3). Under data
+    parallelism the trainer is pjit-style SPMD, so the batch-axis mean
+    reduces over the GLOBAL batch (XLA inserts the collective):
+    statistics are bit-for-bit single-device/reference semantics at any
+    mesh size — no per-replica divergence, no SyncBN knob needed
+    (pinned by tests/test_bn_dp.py).
 """
 
 from __future__ import annotations

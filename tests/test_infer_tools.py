@@ -51,6 +51,30 @@ def test_predictor_probs_sum_to_one():
     np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
 
 
+def test_mesh_sharded_predictor_matches_single_device():
+    """TTA inference over an 8-device mesh equals the unsharded result:
+    the batch (and folded variant axis) shards, params replicate, XLA
+    runs the sweep data-parallel."""
+    from speech_recognition_tpu.parallel.mesh import make_mesh
+    devices = jax.devices("cpu")
+    mesh = make_mesh(devices[:8])
+    module, spec = build_model("conv_2d_fast", num_classes=12,
+                               spectrogram_length=98,
+                               num_log_mel_features=40)
+    plain = Predictor(module, SETTINGS, "mfcc", TTAConfig(use_tta=True))
+    sharded = Predictor(module, SETTINGS, "mfcc", TTAConfig(use_tta=True),
+                        mesh=mesh)
+    wav = jnp.zeros((2, 16000))
+    x = plain.frontend.features(wav, "mfcc")
+    variables = module.init({"params": jax.random.PRNGKey(0)}, x,
+                            train=False)
+    batch = jnp.asarray(np.random.default_rng(4).uniform(
+        -0.3, 0.3, (16, 16000)).astype(np.float32))
+    p_plain = np.asarray(plain.predict(variables, batch))
+    p_mesh = np.asarray(sharded.predict(variables, batch))
+    np.testing.assert_allclose(p_mesh, p_plain, atol=1e-5)
+
+
 def test_int16_input_matches_float32():
     """Packed int16 PCM decodes on device (1/32768) to the same probs as
     pre-scaled float32 input — the submission path ships int16 to halve
