@@ -84,6 +84,30 @@ def _tiny_trainer(model_name="conv_2d_fast", batch=16):
                    augment=aug, batch_size=batch, mesh=make_mesh())
 
 
+def test_49_class_extend_reversed_train_step():
+    """The reference's 49-class reversed-words experiment
+    (classes.py:18-23): 30 known + 17 reversed pseudo-words + silence +
+    unknown = 49 outputs; one full train step must run and produce
+    finite loss at that head size."""
+    from speech_recognition_tpu.labels import get_classes, prepare_words_list
+    words = prepare_words_list(get_classes(wanted_only=False,
+                                           extend_reversed=True))
+    assert len(words) == 49
+    settings = prepare_model_settings(
+        label_count=49, window_size_ms=30.0, window_stride_ms=10.0,
+        dct_coefficient_count=80, num_log_mel_features=40,
+        output_representation="mfcc")
+    ds = synthetic_device_dataset(num_train=64, num_val=32, num_pseudo=8,
+                                  num_classes=49)
+    trainer = Trainer(model_name="conv_2d_fast", settings=settings,
+                      dataset=ds, augment=AugmentConfig(), batch_size=8,
+                      mesh=make_mesh())
+    state = trainer.init_state()
+    state, metrics = trainer.train_step(state, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
+
+
 def test_frontend_precision_policy():
     """'auto' follows compute_dtype; explicit values win. The parity
     default (HIGHEST) must hold everywhere outside bf16 training."""
