@@ -388,17 +388,34 @@ class Trainer:
         dropped (steps = set_size // batch_size, train.py:58,70).
         """
         ds = self.dataset
-        steps = ds.set_size(mode) // self.batch_size
+        set_size = ds.set_size(mode)
+        if set_size == 0:
+            raise ValueError(f"partition {mode!r} is empty")
+        # reference semantics: trailing partial batch dropped — but a
+        # set smaller than the batch must not silently evaluate nothing
+        # (batch 384 vs a small validation split), so the batch shrinks
+        # to the set size in that case (one extra compile, eval-only).
+        # On a mesh the shrunk batch stays a multiple of the device
+        # count so the sharding constraint holds.
+        batch = min(self.batch_size, set_size)
+        num_dev = int(self.mesh.devices.size)
+        if batch % num_dev:
+            batch = (batch // num_dev) * num_dev
+            if batch == 0:
+                raise ValueError(
+                    f"partition {mode!r} has {set_size} samples — fewer "
+                    f"than the {num_dev}-device mesh can shard")
+        steps = set_size // batch
         conf = np.zeros((self.settings.label_count,
                          self.settings.label_count), np.int64)
         loss_sum, n = 0.0, 0
         for i in range(steps):
             fids, labels, silence = ds.eval_ids(
-                mode, i * self.batch_size, self.batch_size)
+                mode, i * batch, batch)
             c, ls = self._jit_eval_step(state, ds, fids, labels, silence)
             conf += np.asarray(c, np.int64)
             loss_sum += float(ls)
-            n += self.batch_size
+            n += batch
         return conf, loss_sum / max(n, 1)
 
     def fit(self, state: TrainState, epochs: int,

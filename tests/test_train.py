@@ -84,6 +84,16 @@ def _tiny_trainer(model_name="conv_2d_fast", batch=16):
                    augment=aug, batch_size=batch, mesh=make_mesh())
 
 
+def test_evaluate_with_set_smaller_than_batch():
+    """A validation split smaller than the batch must still evaluate
+    (it used to drop to zero steps and print 0.0 silently)."""
+    trainer = _tiny_trainer(batch=64)  # val set is 32 < 64
+    state = trainer.init_state()
+    conf, val_loss = trainer.evaluate(state)
+    assert conf.sum() == 32
+    assert np.isfinite(val_loss)
+
+
 def test_49_class_extend_reversed_train_step():
     """The reference's 49-class reversed-words experiment
     (classes.py:18-23): 30 known + 17 reversed pseudo-words + silence +
