@@ -31,6 +31,10 @@ def parse_args():
     p.add_argument("--dct_coefficient_count", type=int, default=80)
     p.add_argument("--num_log_mel_features", type=int, default=60)
     p.add_argument("--no_tta", action="store_true")
+    p.add_argument("--data_parallel", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="shard the sweep over a device mesh (auto = "
+                        "multi-chip accelerator hosts only)")
     return p.parse_args()
 
 
@@ -70,8 +74,20 @@ def main():
     state = restore_checkpoint(args.checkpoint, trainer.init_state())
     tta = TTAConfig(use_tta=not args.no_tta,
                     use_speed_tta=bool(args.tta_dir))
+    # multi-chip accelerator hosts: shard the sweep data-parallel.
+    # 'auto' stays off on CPU (virtual-device test meshes would only
+    # add compile time); force with --data_parallel on.
+    import jax
+    mesh = None
+    use_dp = (args.data_parallel == "on"
+              or (args.data_parallel == "auto"
+                  and jax.default_backend() != "cpu"))
+    if (use_dp and len(jax.devices()) > 1
+            and args.batch_size % len(jax.devices()) == 0):
+        from speech_recognition_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh()
     predictor = Predictor(trainer.module, settings,
-                          trainer.representation, tta)
+                          trainer.representation, tta, mesh=mesh)
     variables = variables_from_state(state)
     basenames, probs = predict_directory(
         predictor, variables, args.test_dir,

@@ -51,8 +51,10 @@ def _build_corpus(root):
 
 def _run(args, cwd):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # generous bound: each step takes ~60-90 s alone, but the suite may
+    # share a single host core with other tests' compile jobs
     return subprocess.run([sys.executable] + args, cwd=cwd, env=env,
-                          capture_output=True, text=True, timeout=560)
+                          capture_output=True, text=True, timeout=1200)
 
 
 @pytest.mark.slow
