@@ -94,6 +94,13 @@ def main():
     import glob
     existing = len(glob.glob(os.path.join(test_dir, "*.wav")))
     if existing != args.num_files:
+        if args.keep_dir and existing:
+            # never rmtree a user-supplied directory (it was asked to be
+            # kept); only the default /tmp tree is auto-rebuilt
+            raise SystemExit(
+                f"--keep_dir tree has {existing} WAVs but "
+                f"--num_files={args.num_files}; pass a matching "
+                "--num_files or clean the directory yourself")
         shutil.rmtree(test_dir, ignore_errors=True)
         print(f"building {args.num_files}-file test tree...",
               file=sys.stderr)

@@ -120,8 +120,12 @@ class AugmentConfig:
     def eval_variant(self) -> "AugmentConfig":
         """Deterministic policy for validation/testing (utils.py:15-24).
 
-        Everything off except silence_volume_range, which intentionally
-        stays so silence clips are not all-zero in validation.
+        Every knob is zero: silence clips evaluate all-zero. The
+        reference behaves identically — its eval generator carries
+        silence_volume_range=0.3 (utils.py:24), but ``get_data`` only
+        mixes background in training mode (input_data.py:453), so that
+        knob is dead in eval there too. It is zeroed here instead of
+        carried so the config cannot misdescribe its own semantics.
         """
         return AugmentConfig(
             background_frequency=0.0,
@@ -131,8 +135,8 @@ class AugmentConfig:
             time_shift_frequency=0.0,
             time_shift_range=(0, 0),
             flip_frequency=0.0,
-            silence_volume_range=self.silence_volume_range,
-            silence_background_frequency=self.silence_background_frequency,
+            silence_volume_range=0.0,
+            silence_background_frequency=0.0,
             pseudo_frequency=0.0,
         )
 

@@ -86,9 +86,14 @@ def predict_directory(predictor, variables, test_dir: str,
             wav, slow, pad = futures[i].result()
             if i + depth < len(starts):
                 futures.append(ex.submit(decode_chunk, starts[i + depth]))
-            # async dispatch: the device computes while the pool decodes
+            # async dispatch: the device computes while the pool decodes.
+            # Bounded in-flight depth: without it a fast host could
+            # enqueue hundreds of batches whose int16 inputs (~12 MB
+            # each at batch 384) stay live in HBM until executed.
             probs = predictor.predict(variables, wav, slow)
             pending.append((probs, pad))
+            if i >= 8:
+                pending[i - 8][0].block_until_ready()
             if progress:
                 print(f"  {min(start + batch_size, n)}/{n}")
     all_probs = []

@@ -16,9 +16,11 @@ Design notes vs the reference (model.py):
   * BatchNorm uses Keras defaults (momentum 0.99, eps 1e-3). Under data
     parallelism the trainer is pjit-style SPMD, so the batch-axis mean
     reduces over the GLOBAL batch (XLA inserts the collective):
-    statistics are bit-for-bit single-device/reference semantics at any
-    mesh size — no per-replica divergence, no SyncBN knob needed
-    (pinned by tests/test_bn_dp.py).
+    statistics are numerically equivalent to global-batch single-device/
+    reference semantics at any mesh size (within float tolerance —
+    cross-shard reduction order is not bit-exact; pinned to 2e-5 by
+    tests/test_bn_dp.py). No per-replica divergence, no SyncBN knob
+    needed.
 """
 
 from __future__ import annotations
@@ -194,8 +196,13 @@ def _max_pool_axis(x: jax.Array, pool: int, strides: int, padding: str,
     ``select-and-scatter`` — which profiling showed costs ~17% of a
     pool-heavy train step on TPU v5e (select-and-scatter does not
     vectorize well there). Tie handling in the *gradient* differs:
-    equal maxima split the cotangent instead of winner-takes-first;
-    exact float ties are measure-zero under augmentation noise.
+    equal maxima split the cotangent instead of winner-takes-first.
+    Realistic ties are the relu6 clamp values feeding these pools, not
+    random floats: ties at 0.0 are common but their split cotangent is
+    killed upstream by the relu6 VJP (zero slope for pre-activations
+    < 0), and ties at the 6.0 saturation are rare and likewise gated
+    (zero slope past the clamp), so the training-dynamics effect of the
+    split is negligible in practice.
     """
     t = x.shape[axis]
     if padding.upper() == "SAME":

@@ -5,10 +5,12 @@
   (utils.py:87-108); taking log_softmax of logits is the numerically sound
   equivalent (documented divergence — identical gradients up to the
   reference's epsilon clipping).
-* Keras-semantics optimizers via optax: SGD+momentum, Adam, RMSprop
-  (rho=0.9). LR is injected as a mutable hyperparameter so the
-  ReduceLROnPlateau controller (train.py:62-63) can scale it between
-  epochs without recompilation.
+* Keras-semantics optimizers: SGD+momentum and Adam via optax; RMSprop
+  as a hand-rolled transform (``keras_rmsprop``) because optax's
+  epsilon placement differs from Keras (see its docstring). LR is
+  injected as a mutable hyperparameter so the ReduceLROnPlateau
+  controller (train.py:62-63) can scale it between epochs without
+  recompilation.
 * L2 kernel regularization (the reference attaches l2(1e-5) to most conv/
   dense kernels) is added to the loss over kernel-named params so it flows
   through adaptive optimizers exactly like Keras.
@@ -16,7 +18,7 @@
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -49,6 +51,45 @@ def l2_kernel_penalty(params: Any, scale: float) -> jax.Array:
     return scale * total
 
 
+class KerasRMSpropState(NamedTuple):
+    nu: Any  # exponential moving average of squared gradients
+
+
+def keras_rmsprop(learning_rate, rho: float = 0.9,
+                  eps: float = 1e-8) -> optax.GradientTransformation:
+    """RMSprop with exact Keras 2.1.2 epsilon placement.
+
+    Keras (``rmsprop.get_updates``, consumed at reference model.py:770):
+
+        a  <- rho * a + (1 - rho) * g**2
+        p  <- p - lr * g / (sqrt(a) + eps)
+
+    ``optax.rmsprop`` instead computes ``g * rsqrt(a + eps)`` — epsilon
+    *inside* the sqrt — which diverges most when ``a`` is small (early
+    steps, flat directions). 17 of the 25 zoo models train with RMSprop,
+    so the exact form is implemented here (~15 lines) rather than
+    documenting the divergence. Keras 2.1.2 hardcodes eps=1e-8 (the
+    switch to K.epsilon()=1e-7 landed in 2.1.3). Pinned against a
+    hand-rolled numpy reference in tests/test_optim.py.
+    """
+
+    def init_fn(params):
+        return KerasRMSpropState(
+            nu=jax.tree_util.tree_map(jnp.zeros_like, params))
+
+    def update_fn(updates, state, params=None):
+        del params
+        nu = jax.tree_util.tree_map(
+            lambda n, g: rho * n + (1.0 - rho) * jnp.square(g),
+            state.nu, updates)
+        scaled = jax.tree_util.tree_map(
+            lambda g, n: -learning_rate * g / (jnp.sqrt(n) + eps),
+            updates, nu)
+        return scaled, KerasRMSpropState(nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def build_optimizer(name: str, learning_rate: float,
                     momentum: float = 0.0) -> optax.GradientTransformation:
     """Keras-equivalent optimizer. Wrapped with inject_hyperparams so
@@ -63,8 +104,8 @@ def build_optimizer(name: str, learning_rate: float,
             return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
     elif name == "rmsprop":
         def make(learning_rate):
-            # Keras RMSprop: rho=0.9, eps=K.epsilon()=1e-7, no momentum
-            return optax.rmsprop(learning_rate, decay=0.9, eps=1e-7)
+            # Keras 2.1.2 RMSprop: rho=0.9, eps=1e-8 outside the sqrt
+            return keras_rmsprop(learning_rate, rho=0.9, eps=1e-8)
     else:
         raise ValueError(f"unknown optimizer {name!r}")
     return optax.inject_hyperparams(make)(learning_rate=learning_rate)

@@ -73,7 +73,10 @@ def test_prepare_model_settings_mfcc():
     assert s.fingerprint_size == 60 * 66
 
 
-def test_eval_augment_variant_zeroes_everything_but_silence_volume():
+def test_eval_augment_variant_zeroes_everything():
+    # Silence clips are all-zero in eval — reference-correct behavior
+    # (input_data.py:453 gates background mixing on training mode), so
+    # the eval variant must not carry a live-looking silence volume.
     from speech_recognition_tpu.config import AugmentConfig
     cfg = AugmentConfig(pseudo_frequency=0.6)
     ev = cfg.eval_variant()
@@ -81,4 +84,5 @@ def test_eval_augment_variant_zeroes_everything_but_silence_volume():
     assert ev.foreground_frequency == 0.0
     assert ev.time_shift_frequency == 0.0
     assert ev.pseudo_frequency == 0.0
-    assert ev.silence_volume_range == cfg.silence_volume_range
+    assert ev.silence_volume_range == 0.0
+    assert ev.silence_background_frequency == 0.0
