@@ -15,7 +15,7 @@ partition deterministically.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -112,16 +112,22 @@ class DeviceDataset(struct.PyTreeNode):
 def build_device_dataset(index: DatasetIndex,
                          settings: ModelSettings,
                          include_pseudo: bool = True,
-                         device=None) -> DeviceDataset:
+                         device=None,
+                         modes: Optional[Sequence[str]] = None,
+                         ) -> DeviceDataset:
     """Decode every referenced file once and upload the packed bank.
 
     Duplicate references (silence entries all point at one file,
-    input_data.py:244-254) share a single bank row.
+    input_data.py:244-254) share a single bank row. ``modes`` restricts
+    which partitions are staged (e.g. ``["validation"]`` for the
+    streaming trainer, which keeps the training corpus on the host).
     """
     desired = settings.desired_samples
-    modes = ["training", "validation", "testing"]
-    if include_pseudo:
-        modes.append("pseudo")
+    if modes is None:
+        modes = ["training", "validation", "testing"]
+        if include_pseudo:
+            modes.append("pseudo")
+    modes = list(modes)
 
     path_to_row: Dict[str, int] = {}
     ordered_paths = []

@@ -7,8 +7,11 @@ device_puts them while the accelerator computes, keeping a bounded queue
 of batches in flight (the reference's equivalent is Keras' single
 generator thread with a per-sample session call, train.py:69).
 
-Multi-host: shard ``paths``/``labels`` by ``jax.process_index()`` before
-constructing the loader, one loader per host.
+Multi-host: shard ``paths``/``labels`` by ``jax.process_index()``
+(``parallel.distributed.process_shard``) before constructing the loader,
+one loader per host, and pass the global batch ``sharding`` — batches
+are then assembled as global arrays from each process's local data.
+Consumed by ``Trainer.fit_streaming`` (train/loop.py).
 """
 
 from __future__ import annotations
@@ -31,18 +34,28 @@ class HostPrefetchLoader:
     def __init__(self, paths: Sequence[str], labels: np.ndarray,
                  is_silence: np.ndarray, batch_size: int,
                  desired_samples: int = 16000, prefetch: int = 2,
-                 seed: int = 0, device=None):
+                 seed: int = 0, device=None, sharding=None):
         self.paths = list(paths)
         self.labels = np.asarray(labels, np.int32)
         self.is_silence = np.asarray(is_silence, bool)
+        # batch_size is per-process: with a sharding on an N-process
+        # cluster the global batch is N * batch_size
         self.batch_size = batch_size
         self.desired_samples = desired_samples
         self.prefetch = max(1, prefetch)
         self.device = device
+        self.sharding = sharding
         self._rng = np.random.default_rng(seed)
         self._queue: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+
+    def _put(self, arr: np.ndarray):
+        if self.sharding is not None and jax.process_count() > 1:
+            # assemble a global array from this process's local rows
+            return jax.make_array_from_process_local_data(
+                self.sharding, arr)
+        return jax.device_put(arr, self.sharding or self.device)
 
     def _produce(self):
         while not self._stop.is_set():
@@ -51,9 +64,9 @@ class HostPrefetchLoader:
                 [self.paths[i] for i in idx], self.desired_samples)
             wav = wav_i16.astype(np.float32) / INT16_DECODE_SCALE
             batch = (
-                jax.device_put(wav, self.device),
-                jax.device_put(self.labels[idx], self.device),
-                jax.device_put(self.is_silence[idx], self.device),
+                self._put(wav),
+                self._put(self.labels[idx]),
+                self._put(self.is_silence[idx]),
             )
             while not self._stop.is_set():
                 try:

@@ -33,3 +33,28 @@ def process_shard(items: Sequence[T],
     idx = jax.process_index() if process_index is None else process_index
     count = jax.process_count() if process_count is None else process_count
     return list(items[idx::count])
+
+
+def host_replicated(tree, mesh):
+    """Wrap per-process host values into global fully-replicated arrays.
+
+    Every process must hold identical data (same seed / same files) —
+    the multi-host equivalent of ``device_put(x, NamedSharding(mesh,
+    P()))``. Used to stage a DeviceDataset once per host so a
+    multi-process DP train step can consume it as a jit argument
+    (tests/test_distributed.py runs this across a real 2-process
+    cluster).
+    """
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P())
+
+    def put(x):
+        if hasattr(x, "shape") and hasattr(x, "dtype"):
+            arr = np.asarray(x)
+            return jax.make_array_from_callback(
+                arr.shape, sharding, lambda idx: arr[idx])
+        return x
+
+    return jax.tree_util.tree_map(put, tree)

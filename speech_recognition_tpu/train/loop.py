@@ -67,7 +67,17 @@ class Trainer:
 
     model_name: str
     settings: ModelSettings
-    dataset: DeviceDataset
+    # HBM-resident corpus (the primary path). None = streaming mode:
+    # batches come from a HostPrefetchLoader via ``fit_streaming`` /
+    # ``train_step_stream`` and only the background bank lives on
+    # device. Cutoff: the staged int16 bank costs 32 KB/clip (64 KB
+    # with the doubled decode bank), so ~115k clips/GB — a corpus
+    # beyond a few hundred thousand clips per 16 GB v5e chip (after
+    # model/activation memory) should stream.
+    dataset: Optional[DeviceDataset] = None
+    # Background-noise bank for streaming mode (with a dataset, the
+    # dataset's own bank is used).
+    background: Optional[Any] = None
     augment: AugmentConfig = AugmentConfig()
     batch_size: int = 384
     seed: int = 0
@@ -101,6 +111,10 @@ class Trainer:
                                   else "float32")
         if self.mesh is None:
             self.mesh = make_mesh()
+        if self.dataset is None:
+            self.use_fused_augment = False
+        elif self.background is None:
+            self.background = self.dataset.background
         if self.use_fused_augment is None:
             # chunked banks need lane-aligned clips (true for the 16 kHz
             # one-second Speech Commands geometry)
@@ -265,11 +279,9 @@ class Trainer:
         x = constrain_batch(x, self.mesh)
         return x, labels, k_drop
 
-    def _train_step(self, state: TrainState, key: jax.Array,
-                    pseudo_frequency: jax.Array, ds: DeviceDataset,
-                    bank_chunks, bg_chunks):
-        x, labels, k_drop = self._sample_batch(
-            key, pseudo_frequency, ds, bank_chunks, bg_chunks)
+    def _update_step(self, state: TrainState, x, labels, k_drop):
+        """Forward/backward/optimizer update on featurized inputs —
+        shared tail of the HBM-bank and streaming train steps."""
 
         def loss_fn(params):
             logits, new_stats = self._forward_batch(
@@ -284,6 +296,31 @@ class Trainer:
         new_state = state.apply_gradients(grads, new_stats)
         acc = (logits.argmax(-1) == labels).mean()
         return new_state, {"loss": loss, "categorical_accuracy": acc}
+
+    def _train_step(self, state: TrainState, key: jax.Array,
+                    pseudo_frequency: jax.Array, ds: DeviceDataset,
+                    bank_chunks, bg_chunks):
+        x, labels, k_drop = self._sample_batch(
+            key, pseudo_frequency, ds, bank_chunks, bg_chunks)
+        return self._update_step(state, x, labels, k_drop)
+
+    def _stream_step(self, state: TrainState, key: jax.Array,
+                     wav: jax.Array, labels: jax.Array,
+                     silence: jax.Array, background):
+        """Train step on a host-streamed batch (decoded f32 waveforms).
+
+        Sampling/decode happened on the host (HostPrefetchLoader);
+        device-side augmentation with the background bank and the
+        feature frontend are unchanged vs the bank path.
+        """
+        k_aug, k_drop = jax.random.split(key)
+        wav, labels, silence = constrain_batch(
+            (wav, labels, silence), self.mesh)
+        wav = augment_batch(k_aug, wav, silence, self.augment,
+                            background=background, training=True)
+        x = self._features(wav)
+        x = constrain_batch(x, self.mesh)
+        return self._update_step(state, x, labels, k_drop)
 
     def _eval_step(self, state: TrainState, ds: DeviceDataset,
                    fids, labels, silence):
@@ -306,11 +343,60 @@ class Trainer:
 
     def train_step(self, state: TrainState, key: jax.Array,
                    pseudo_frequency: Optional[float] = None):
+        if self.dataset is None:
+            raise ValueError("no DeviceDataset — this trainer is in "
+                             "streaming mode; use train_step_stream / "
+                             "fit_streaming")
         if pseudo_frequency is None:
             pseudo_frequency = self.augment.pseudo_frequency
         return self._jit_train_step(
             state, key, jnp.asarray(pseudo_frequency, jnp.float32),
             self.dataset, self._bank_chunks, self._bg_chunks)
+
+    def train_step_stream(self, state: TrainState, key: jax.Array,
+                          wav: jax.Array, labels: jax.Array,
+                          silence: jax.Array):
+        """One update from a host-streamed batch (see ``fit_streaming``)."""
+        if not hasattr(self, "_jit_stream_step"):
+            self._jit_stream_step = jax.jit(self._stream_step,
+                                            donate_argnums=0)
+        return self._jit_stream_step(state, key, wav, labels, silence,
+                                     self.background)
+
+    def fit_streaming(self, state: TrainState, loader,
+                      steps: int, log_every: int = 0,
+                      ) -> Tuple[TrainState, Dict[str, list]]:
+        """Train from a ``HostPrefetchLoader`` (corpora that exceed HBM).
+
+        The loader's producer thread decodes WAV batches with the native
+        codec and uploads them while the device computes; this loop only
+        dispatches. Multi-host: shard the loader's path list with
+        ``parallel.distributed.process_shard`` and give the loader the
+        batch sharding of the global mesh — every process runs the same
+        loop and XLA's collectives keep the replicated state in sync
+        (identical to the bank path's DP semantics).
+        """
+        history: Dict[str, list] = {}
+        key = jax.random.PRNGKey(self.seed + 3)
+        t0 = time.time()
+        metrics = None
+        for step in range(steps):
+            wav, labels, silence = next(loader)
+            state, metrics = self.train_step_stream(
+                state, jax.random.fold_in(key, step), wav, labels,
+                silence)
+            if log_every and (step + 1) % log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                print(f"  stream step {step + 1}/{steps}: {m}")
+                for k, v in m.items():
+                    history.setdefault(k, []).append(v)
+        if metrics is not None:
+            jax.block_until_ready(metrics["loss"])
+            for k, v in metrics.items():
+                history.setdefault(k, []).append(float(v))
+        history["clips_per_sec"] = [
+            steps * self.batch_size / max(time.time() - t0, 1e-9)]
+        return state, history
 
     # NOTE: a lax.scan "train_many" path existed through round 2 and was
     # deleted after a head-to-head on real v5e: per-step dispatch 1.40
@@ -380,6 +466,53 @@ class Trainer:
             lambda a: a / num_batches, total)
         return state.replace(batch_stats=mean_stats)
 
+    def _stream_stats_step(self, state: TrainState, key: jax.Array,
+                           wav: jax.Array, labels: jax.Array,
+                           silence: jax.Array, background):
+        """Streamed-batch variant of ``_stats_step`` (same f32-only
+        momentum-recovery math; see that docstring)."""
+        del labels
+        k_aug, k_drop = jax.random.split(key)
+        wav, silence = constrain_batch((wav, silence), self.mesh)
+        wav = augment_batch(k_aug, wav, silence, self.augment,
+                            background=background, training=True)
+        x = self._features(wav)
+        x = constrain_batch(x, self.mesh)
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        _, updated = self.module.apply(
+            variables, x, train=True, rngs={"dropout": k_drop},
+            mutable=["batch_stats"])
+        m = 0.99  # layers.BN_MOMENTUM
+        return jax.tree_util.tree_map(
+            lambda new, old: (new - m * old) / (1.0 - m),
+            updated["batch_stats"], state.batch_stats)
+
+    def recalibrate_batch_stats_stream(self, state: TrainState, loader,
+                                       num_batches: int = 16,
+                                       key: Optional[jax.Array] = None,
+                                       ) -> TrainState:
+        """``recalibrate_batch_stats`` for streaming mode: averages exact
+        batch statistics over ``num_batches`` loader batches (needed for
+        short schedules — see the bank-path docstring)."""
+        if not state.batch_stats:
+            return state
+        if key is None:
+            key = jax.random.PRNGKey(self.seed + 9)
+        if not hasattr(self, "_jit_stream_stats_step"):
+            self._jit_stream_stats_step = jax.jit(self._stream_stats_step)
+        total = None
+        for i in range(num_batches):
+            wav, labels, silence = next(loader)
+            bs = self._jit_stream_stats_step(
+                state, jax.random.fold_in(key, i), wav, labels, silence,
+                self.background)
+            total = bs if total is None else jax.tree_util.tree_map(
+                jnp.add, total, bs)
+        mean_stats = jax.tree_util.tree_map(
+            lambda a: a / num_batches, total)
+        return state.replace(batch_stats=mean_stats)
+
     def evaluate(self, state: TrainState, mode: str = "validation",
                  ) -> Tuple[np.ndarray, float]:
         """Deterministic sweep; returns (confusion matrix, mean log loss).
@@ -388,6 +521,10 @@ class Trainer:
         dropped (steps = set_size // batch_size, train.py:58,70).
         """
         ds = self.dataset
+        if ds is None:
+            raise ValueError("evaluate() needs a DeviceDataset; in "
+                             "streaming mode stage an eval partition as "
+                             "a (small) DeviceDataset")
         set_size = ds.set_size(mode)
         if set_size == 0:
             raise ValueError(f"partition {mode!r} is empty")
@@ -436,6 +573,9 @@ class Trainer:
         statistics before each validation sweep (see
         ``recalibrate_batch_stats``) — recommended for short schedules.
         """
+        if self.dataset is None:
+            raise ValueError("fit() needs a DeviceDataset; use "
+                             "fit_streaming for loader-based training")
         if steps_per_epoch is None:
             steps_per_epoch = max(
                 1, self.dataset.set_size("training") // self.batch_size)

@@ -55,6 +55,41 @@ np.testing.assert_allclose(np.asarray(total), 6.0)
 shard = process_shard(list(range(10)))
 expected = list(range(10))[pid::2]
 assert shard == expected, (shard, expected)
+# --- a REAL DP train step across the 2-process cluster ---------------
+# (VERDICT r2 item 8: close the gap between "collectives work" and
+# "training works multi-host".) Both processes stage an identical
+# synthetic dataset as global replicated arrays, then run one jitted
+# Trainer step over the global mesh; XLA's gradient psum crosses DCN.
+from speech_recognition_tpu.config import (
+    AugmentConfig, prepare_model_settings,
+)
+from speech_recognition_tpu.data.device_bank import (
+    synthetic_device_dataset,
+)
+from speech_recognition_tpu.parallel.distributed import host_replicated
+from speech_recognition_tpu.parallel.mesh import make_mesh
+from speech_recognition_tpu.train.loop import Trainer
+settings = prepare_model_settings(
+    label_count=12, output_representation="mfcc",
+    dct_coefficient_count=40, num_log_mel_features=40)
+tmesh = make_mesh(devices)
+dataset = synthetic_device_dataset(
+    num_train=16, num_val=8, num_pseudo=4, num_classes=12,
+    background_len=16000 * 2, seed=7)
+dataset = host_replicated(dataset, tmesh)
+trainer = Trainer(model_name="simple", settings=settings,
+                  dataset=dataset,
+                  augment=AugmentConfig(pseudo_frequency=0.5),
+                  batch_size=8, mesh=tmesh, use_fused_augment=False)
+state = trainer.init_state()
+losses = []
+for i in range(2):
+    state, metrics = trainer.train_step(state, jax.random.PRNGKey(i))
+    # fully-replicated global array: every process reads the same value
+    losses.append(float(metrics["loss"]))
+assert int(state.step) == 2
+assert all(np.isfinite(l) for l in losses), losses
+print(f"WORKER{pid}_TRAIN loss0={losses[0]:.6f} loss1={losses[1]:.6f}")
 print(f"WORKER{pid}_OK")
 """
 
@@ -88,6 +123,12 @@ def test_two_process_cluster(tmp_path):
             f"worker {pid} failed:\n{outputs[-1]}"
     assert "WORKER0_OK" in outputs[0]
     assert "WORKER1_OK" in outputs[1]
+    # both processes ran the DP train step and computed the SAME global
+    # loss (gradient/metric psum over DCN, replicated state)
+    import re
+    loss_lines = [re.search(r"WORKER\d_TRAIN (.*)", o).group(1)
+                  for o in outputs]
+    assert loss_lines[0] == loss_lines[1], loss_lines
 
 
 def test_process_shard_explicit():
