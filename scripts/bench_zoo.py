@@ -79,8 +79,8 @@ def main():
         state = trainer.init_state()
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(
             state.params))
-        r = benchmark_train(trainer, state, steps=args.steps,
-                            warmup=args.warmup)
+        state, r = benchmark_train(trainer, state, steps=args.steps,
+                                   warmup=args.warmup)
         row = {"model": name, "params": int(n_params),
                "representation": trainer.representation,
                "ms_per_step": round(r["ms_per_step"], 3),

@@ -19,13 +19,17 @@ def _block(tree):
 
 
 def benchmark_train(trainer, state, steps: int = 100,
-                    warmup: int = 10) -> Dict[str, float]:
+                    warmup: int = 10):
     """Steady-state training throughput on the current devices.
 
     Per-step dispatch with async pipelining (the same shape as the real
     epoch loop); blocked on the final step's metrics so the full chain is
     measured. (A lax.scan variant was measured at 190 ms/step vs 1.4
     ms/step for this path on real v5e and deleted — see train/loop.py.)
+
+    Returns ``(state, metrics_dict)`` — the train step donates its state
+    buffer, so the caller must thread the returned state into any
+    subsequent use instead of reusing the argument.
     """
     key = jax.random.PRNGKey(123)
     # keys precomputed like the production fit() loop (one split/epoch)
@@ -40,12 +44,61 @@ def benchmark_train(trainer, state, steps: int = 100,
     dt = time.perf_counter() - t0
     clips = steps * trainer.batch_size
     num_devices = len(jax.devices())
-    return {
+    return state, {
         "steps": steps,
         "batch_size": trainer.batch_size,
         "ms_per_step": 1000.0 * dt / steps,
         "clips_per_sec": clips / dt,
         "clips_per_sec_per_chip": clips / dt / num_devices,
+    }
+
+
+def traced_train_device_time(trainer, state, steps: int = 20,
+                             warmup: int = 2):
+    """Device-busy truth for the train step from a ``jax.profiler`` trace.
+
+    Wall aggregates through the tunnel carry additive host/transport
+    noise; the trace records how long the device actually ran each XLA
+    module. NOTE: per-op trace instrumentation inflates device time
+    ~2-3x vs untraced execution on this platform (see
+    scripts/profile_step.py), so the traced number is an upper bound on
+    true device time, useful as a sanity ceiling for wall claims.
+
+    Returns ``(state, summary)`` where summary is
+    ``{"device_ms_per_step", "device_clips_per_sec", "device_busy_ms",
+    "modules"}`` or ``None`` if the platform produced no parsable trace
+    (the caller should then fall back to wall time). The train step
+    donates its state buffer — thread the returned state onward.
+    """
+    import tempfile
+
+    from speech_recognition_tpu.utils.profiling import (
+        summarize_trace, trace_context,
+    )
+
+    keys = jax.random.split(jax.random.PRNGKey(321), warmup + steps)
+    for i in range(warmup):
+        state, metrics = trainer.train_step(state, keys[i])
+    _block(metrics)
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            with trace_context(td):
+                for i in range(steps):
+                    state, metrics = trainer.train_step(
+                        state, keys[warmup + i])
+                _block(metrics)
+            summary = summarize_trace(td, num_steps=steps)
+    except Exception:
+        return state, None
+    ms_per_step = summary["device_busy_ms"] / steps
+    if ms_per_step <= 0.0:
+        return state, None
+    return state, {
+        "device_ms_per_step": ms_per_step,
+        "device_clips_per_sec": trainer.batch_size / ms_per_step * 1e3,
+        "device_busy_ms": summary["device_busy_ms"],
+        "modules": {k: round(v["ms_per_exec"], 4)
+                    for k, v in summary["modules"].items()},
     }
 
 
