@@ -18,9 +18,17 @@ Weight-layout transforms handled:
     recurrent_kernel [u, 3u] -> split recurrent_kernel_zr [u, 2u] +
     recurrent_kernel_h [u, u]
 
-Raises with a precise mismatch report if anything fails to line up —
-silent misassignment is never possible (every source weight must be
-consumed exactly once by a shape-compatible slot).
+Matching guarantees (stated precisely): every source weight must be
+consumed exactly once by a (kind, shape)-compatible slot, and within
+each (kind, shape) group assignment is order-preserving — the i-th flax
+slot of a group gets the i-th Keras weight of that group. A checkpoint
+whose creation order differs from the flax module order *within a
+same-kind same-shape group* (e.g. two parallel branches with identical
+kernels) would therefore be transposed silently; such groups are
+reported via ``warnings.warn`` so the caller knows which assignments
+relied on order congruence, and the TF-twin logits goldens
+(tests/test_model_twins.py) pin end-to-end correctness for the branchy
+architectures (inception and friends) where the hazard is real.
 """
 
 from __future__ import annotations
@@ -127,6 +135,22 @@ def import_keras_hdf5(h5_path: str, variables: Dict[str, Any],
                  for (layer, kind, arr), u in zip(sources, used) if not u]
     if leftovers:
         raise ValueError(f"unconsumed Keras weights: {leftovers}")
+
+    # surface the groups where assignment relied on order congruence
+    import collections
+    group_sizes = collections.Counter(
+        (kind, tuple(arr.shape)) for _, kind, arr in sources)
+    ambiguous = sorted(f"{kind}{list(shape)}x{n}"
+                       for (kind, shape), n in group_sizes.items()
+                       if n > 1)
+    if ambiguous:
+        import warnings
+        warnings.warn(
+            "keras_import matched these same-kind same-shape weight "
+            f"groups by storage order: {ambiguous} — correct iff the "
+            "checkpoint's creation order matches the flax module order "
+            "(pinned for the zoo by tests/test_model_twins.py)",
+            stacklevel=2)
 
     def rebuild(tree, prefix=()):
         if isinstance(tree, dict) or hasattr(tree, "items"):

@@ -236,8 +236,14 @@ def max_pool_1d(x: jax.Array, pool: int = 3, strides: int = 2,
 
 def avg_pool_1d(x: jax.Array, pool: int = 3, strides: int = 1,
                 padding: str = "same") -> jax.Array:
+    # count_include_pad=False: TF's AveragePooling1D divides by the
+    # number of VALID (non-padded) window elements at the edges
+    # (reference model.py:213 AveragePooling1D(3, strides=1, 'same'));
+    # flax's default divides by the full window size — a boundary-frame
+    # divergence caught by the TF-twin logits goldens.
     return nn.avg_pool(x, window_shape=(pool,), strides=(strides,),
-                       padding=_padding(padding))
+                       padding=_padding(padding),
+                       count_include_pad=False)
 
 
 def max_pool_2d(x: jax.Array, pool=(2, 2), strides=None,

@@ -1,0 +1,72 @@
+"""TF-twin logits parity for four representative zoo models (VERDICT r2
+item 2).
+
+The goldens (tests/goldens/model_twin_goldens.npz, regenerable with
+tests/goldens/generate_model_twin_goldens.py) hold, per model: a fixed
+input, the tf.keras twin's logits, and the twin's weight structure. This
+test rebuilds the twin's Keras-2.1.2-layout h5 from the structure + seed
+(TF-free, via model_twins_lib), imports it into the flax model with
+export/keras_import.py, and asserts logits agreement — so any
+count-preserving wiring error (swapped branches, attention on the wrong
+tensor, pool placement, BN semantics) or importer misassignment fails
+loudly. Reference targets: model.py:775-838 (flagship), :159-254
+(inception), :116-156 (BiGRU), :515-544 (conv_2d).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "goldens"))
+
+from model_twins_lib import (  # noqa: E402
+    draw_weights, structure_from_json, write_keras2_h5,
+)
+
+from speech_recognition_tpu.export.keras_import import (  # noqa: E402
+    import_keras_hdf5,
+)
+from speech_recognition_tpu.models import build_model  # noqa: E402
+
+GOLDEN_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "goldens", "model_twin_goldens.npz")
+SEED = 20260817  # must match generate_model_twin_goldens.SEED
+
+# atol on logits; the BiGRU accumulates a 998-step f32 scan
+CASES = {
+    "conv_1d_time_sliced_with_attention": 2e-4,
+    "inception": 5e-4,
+    "conv_1d_simple": 1e-3,
+    "conv_2d": 2e-4,
+}
+
+
+@pytest.fixture(scope="module")
+def goldens():
+    return np.load(GOLDEN_PATH)
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_twin_logits_parity(name, goldens, tmp_path):
+    structure = structure_from_json(
+        bytes(goldens[f"{name}_structure"]).decode())
+    weights = draw_weights(structure, SEED)
+    h5 = tmp_path / f"{name}.h5"
+    write_keras2_h5(str(h5), structure, weights)
+
+    module, _spec = build_model(name, num_classes=12)
+    x = jnp.asarray(goldens[f"{name}_input"])
+    variables = module.init({"params": jax.random.PRNGKey(0)}, x,
+                            train=False)
+    variables = import_keras_hdf5(str(h5), dict(variables))
+    logits = np.asarray(module.apply(variables, x, train=False))
+
+    want = goldens[f"{name}_logits"]
+    assert logits.shape == want.shape
+    np.testing.assert_allclose(logits, want, atol=CASES[name], rtol=1e-3)
