@@ -52,9 +52,10 @@ def _build_corpus(root):
 def _run(args, cwd):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     # generous bound: each step takes ~60-90 s alone, but the suite may
-    # share a single host core with other tests' compile jobs
+    # share a single host core with other tests' compile jobs (or with
+    # a concurrent TPU calibration run's host-side compiles)
     return subprocess.run([sys.executable] + args, cwd=cwd, env=env,
-                          capture_output=True, text=True, timeout=1200)
+                          capture_output=True, text=True, timeout=1800)
 
 
 @pytest.mark.slow
