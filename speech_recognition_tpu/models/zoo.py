@@ -363,9 +363,16 @@ class Conv1DResidual(nn.Module):
         x = L.Residual1D(512 * fm, 3, strides=2)(x, train)
         x = L.Residual1D(728 * fm, 3, strides=2)(x, train)
         x = L.Residual1D(728 * fm, 3, strides=2)(x, train)
+        # explicit names sorting AFTER Residual1D_*: flax's natural-sort
+        # module order then matches Keras creation order, so same-shape
+        # depthwise kernels ([3,1,728] here) line up for checkpoint
+        # import (keras_import.py order-congruence requirement, pinned
+        # by the conv_1d_residual TF twin).
         x = L.DepthwiseConvBlock(1024 * fm, 3, padding="same",
-                                 strides=2)(x, train)
-        x = L.DepthwiseConvBlock(1024 * fm, 3, padding="valid")(x, train)
+                                 strides=2,
+                                 name="za_head_reduce")(x, train)
+        x = L.DepthwiseConvBlock(1024 * fm, 3, padding="valid",
+                                 name="zb_head_context")(x, train)
         x = L.global_avg_pool(x)
         x = nn.Dropout(0.5, deterministic=not train)(x)
         return L.Dense(self.num_classes)(x)

@@ -147,12 +147,66 @@ class Twin:
 
         return self.keras.layers.Lambda(fn)(x)
 
+    def grouped_convbn(self, x, f, k, g, strides=1, padding="valid"):
+        """Reference grouped conv (model.py:651-693): per-group slice ->
+        Conv1D -> BN -> relu6 -> concat. Recorded as ONE merged layer
+        (kernel concat on the output axis, BN params concat on the
+        channel axis) — exactly the flax grouped-conv + single-BN
+        layout, which is mathematically identical because BN is
+        per-channel."""
+        keras = self.keras
+        c = int(x.shape[-1])
+        cg, fg = c // g, f // g
+        convs, bns, outs = [], [], []
+        for i in range(g):
+            sl = keras.layers.Lambda(
+                lambda v, i=i: v[:, :, i * cg:(i + 1) * cg])(x)
+            conv = keras.layers.Conv1D(fg, k, strides=strides,
+                                       padding=padding, use_bias=False)
+            bn = keras.layers.BatchNormalization(momentum=0.99,
+                                                 epsilon=1e-3)
+            outs.append(keras.layers.ReLU(max_value=6.0)(bn(conv(sl))))
+            convs.append(conv)
+            bns.append(bn)
+        merged = keras.layers.Concatenate()(outs)
+        name = f"layer_{len(self.records):03d}_groupedconvbn"
+        wrecs = [(f"{name}/{kind}:0", kind)
+                 for kind in ("kernel", "gamma", "beta", "moving_mean",
+                              "moving_variance")]
+        self.records.append((name, ("group", convs, bns), wrecs))
+        return merged
+
+    def residual_block(self, x, f, k, strides=1):
+        """_residual_block (model.py:866-878 / :937-949)."""
+        keras = self.keras
+        if strides != 1:
+            res = self.conv1d(x, f, 1, strides=strides, padding="same",
+                              use_bias=False)
+            res = self.bn(res)
+        else:
+            res = x
+        y = self.dw_block(x, f, k, padding="same")
+        y = self.dw_block(y, f, k, padding="same")
+        y = keras.layers.MaxPooling1D(3, strides=strides,
+                                      padding="same")(y)
+        return keras.layers.Add()([y, res])
+
     # -- weight I/O --------------------------------------------------------
+
+    def _group_weights(self, convs, bns):
+        ks = [c.get_weights()[0] for c in convs]
+        bws = [b.get_weights() for b in bns]
+        return [np.concatenate(ks, axis=-1)] + [
+            np.concatenate([bw[j] for bw in bws], axis=0)
+            for j in range(4)]
 
     def structure(self):
         out = []
         for name, layer, wrecs in self.records:
-            ws = layer.get_weights()
+            if isinstance(layer, tuple) and layer[0] == "group":
+                ws = self._group_weights(layer[1], layer[2])
+            else:
+                ws = layer.get_weights()
             assert len(ws) == len(wrecs), \
                 (name, len(ws), [k for _, k in wrecs])
             out.append((name, [(wname, kind, list(w.shape))
@@ -162,7 +216,20 @@ class Twin:
     def set_weights(self, flat):
         it = iter(flat)
         for _name, layer, wrecs in self.records:
-            layer.set_weights([next(it) for _ in wrecs])
+            ws = [next(it) for _ in wrecs]
+            if isinstance(layer, tuple) and layer[0] == "group":
+                _tag, convs, bns = layer
+                g = len(convs)
+                kernel = ws[0]
+                fg = kernel.shape[-1] // g
+                for i, conv in enumerate(convs):
+                    conv.set_weights([kernel[..., i * fg:(i + 1) * fg]])
+                cg = ws[1].shape[0] // g
+                for i, bn in enumerate(bns):
+                    bn.set_weights([w[i * cg:(i + 1) * cg]
+                                    for w in ws[1:]])
+            else:
+                layer.set_weights(ws)
 
 
 # ---------------------------------------------------------------------------
@@ -293,11 +360,83 @@ def twin_conv_2d(num_classes=12):
     return keras.Model(inp, x), t
 
 
+def twin_conv_1d_fast(num_classes=12):
+    """conv_1d_fast (model.py:642-713): bare learned-filterbank stem +
+    grouped convs, linear head."""
+    import keras
+    from keras import ops as K
+    t = Twin()
+    inp = keras.Input((16000,))
+    x = keras.layers.Lambda(lambda v: K.expand_dims(v, -1))(inp)
+    x = t.conv1d(x, 252, 479, strides=160, use_bias=False)  # no BN/act
+    x = t.grouped_convbn(x, 300, 15, 6, strides=2)
+    x = t.grouped_convbn(x, 360, 7, 5, strides=2)
+    x = keras.layers.Flatten()(x)                            # Dropout inert
+    x = t.dense(x, num_classes, use_bias=True)               # logits
+    return keras.Model(inp, x), t
+
+
+def twin_conv_1d_residual(num_classes=12):
+    """conv_1d_residual (model.py:841-908), linear head."""
+    import keras
+    t = Twin()
+    inp = keras.Input((16000,))
+    x = t.frame_same(inp, 40, 20)
+    x = t.conv1d(x, 64, 3, strides=2, use_bias=False)
+    x = t.bn(x)
+    x = t.relu6(x)
+    x = t.residual_block(x, 128, 3, strides=2)
+    x = t.residual_block(x, 256, 3, strides=2)
+    for _ in range(8):
+        x = t.residual_block(x, 256, 3)
+    x = t.residual_block(x, 512, 3, strides=2)
+    x = t.residual_block(x, 728, 3, strides=2)
+    x = t.residual_block(x, 728, 3, strides=2)
+    x = t.dw_block(x, 1024, 3, padding="same", strides=2)  # _reduce_block
+    x = t.dw_block(x, 1024, 3, padding="valid")
+    x = keras.layers.GlobalAveragePooling1D()(x)
+    x = t.dense(x, num_classes, use_bias=True)               # logits
+    return keras.Model(inp, x), t
+
+
+def twin_xception_with_attention(num_classes=12):
+    """xception_with_attention (model.py:911-983): residual trunk +
+    softmax-over-time attention + BiGRU(192), linear head."""
+    import keras
+    from keras import ops as K
+    _register_serializables()
+    t = Twin()
+    inp = keras.Input((16000,))
+    x = t.frame_same(inp, 40, 20)
+    x = t.conv1d(x, 64, 3, strides=2, use_bias=False)
+    x = t.bn(x)
+    x = t.relu6(x)
+    x = t.residual_block(x, 128, 3, strides=2)
+    x = t.residual_block(x, 256, 3, strides=2)
+    for _ in range(8):
+        x = t.residual_block(x, 256, 3)
+    x = t.residual_block(x, 384, 3, strides=2)
+    att = t.dw_block(x, 1, 5, padding="same")
+    att = keras.layers.Lambda(
+        lambda v: keras.activations.softmax(v, axis=1))(att)
+    x = keras.layers.Multiply()([x, att])
+    bi = keras.layers.Bidirectional(keras.layers.GRU(
+        192, recurrent_activation=keras2_hard_sigmoid, reset_after=False))
+    wrecs = [(f"{d}/{k}:0", k) for d in ("fwd", "bwd")
+             for k in ("kernel", "recurrent_kernel", "bias")]
+    x = t.track(bi, wrecs=wrecs)(x)
+    x = t.dense(x, num_classes, use_bias=True)               # logits
+    return keras.Model(inp, x), t
+
+
 TWINS = {
     "conv_1d_time_sliced_with_attention": (twin_flagship, "raw"),
     "inception": (twin_inception, "raw"),
     "conv_1d_simple": (twin_conv_1d_simple, "raw"),
     "conv_2d": (twin_conv_2d, "mfcc"),
+    "conv_1d_fast": (twin_conv_1d_fast, "raw"),
+    "conv_1d_residual": (twin_conv_1d_residual, "raw"),
+    "xception_with_attention": (twin_xception_with_attention, "raw"),
 }
 
 
@@ -314,7 +453,8 @@ def main():
         structure = t.structure()
         weights = draw_weights(structure, SEED)
         t.set_weights(weights)
-        rng = np.random.default_rng(SEED + hash(name) % 1000)
+        import zlib
+        rng = np.random.default_rng(SEED + zlib.crc32(name.encode()))
         x = make_input(rep, rng)
         logits = np.asarray(model(x, training=False))
         n_params = int(sum(w.size for w in weights))

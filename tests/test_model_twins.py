@@ -44,6 +44,13 @@ CASES = {
     "inception": 5e-4,
     "conv_1d_simple": 1e-3,
     "conv_2d": 2e-4,
+    # grouped convs: per-group slice/BN storage merged into the flax
+    # grouped layout by the generator (mathematically identical)
+    "conv_1d_fast": 5e-4,
+    # Residual1D wiring + max-pool SAME + head-block ordering
+    "conv_1d_residual": 5e-4,
+    # softmax-over-time attention + BiGRU over sequences
+    "xception_with_attention": 1e-3,
 }
 
 
