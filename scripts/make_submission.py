@@ -43,7 +43,8 @@ def main():
     from speech_recognition_tpu.config import prepare_model_settings
     from speech_recognition_tpu.data.device_bank import synthetic_device_dataset
     from speech_recognition_tpu.infer.submission import (
-        predict_directory, write_submission_csvs, write_uint8_memmap,
+        predict_directory, to_audio_names_order, write_submission_csvs,
+        write_uint8_memmap,
     )
     from speech_recognition_tpu.infer.tta import (
         Predictor, TTAConfig, variables_from_state,
@@ -99,7 +100,9 @@ def main():
                                   int2label)
     mm = f"{args.out_prefix}_probs.uint8.memmap"
     if probs.shape[1] == 12:
-        write_uint8_memmap(mm, probs)
+        # the exchange format's column order is AUDIO_NAMES, not the
+        # model's class order (see to_audio_names_order)
+        write_uint8_memmap(mm, to_audio_names_order(probs, int2label))
         paths["memmap"] = mm
     print("wrote:", paths)
 

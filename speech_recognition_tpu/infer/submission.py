@@ -143,9 +143,31 @@ def write_submission_csvs(prefix: str, basenames: Sequence[str],
     return paths
 
 
+def to_audio_names_order(probs: np.ndarray,
+                         int2label: Dict[int, str]) -> np.ndarray:
+    """Reorder model-order [N, 12] probabilities into the AUDIO_NAMES
+    uint8-memmap exchange order.
+
+    The 12-class MODEL order follows the reference's wanted-word list
+    ('stop down off right up go on yes left no', classes.py:7), which
+    is NOT the exchange order Heng's tools use (AUDIO_NAMES,
+    create_pseudo_with_thresh.py:10-11) — only silence/unknown/'on'
+    coincide. Writing a memmap without this reorder silently permutes
+    every downstream consumer's labels (pseudo threshold, blending);
+    found end-to-end when a 99.3%-accurate teacher produced
+    25.7%-accurate pseudo labels.
+    """
+    model_labels = [map_to_valid(int2label[i])
+                    for i in range(probs.shape[1])]
+    idx = [model_labels.index(name) for name in AUDIO_NAMES]
+    return probs[:, idx]
+
+
 def write_uint8_memmap(path: str, probs: np.ndarray) -> None:
     """Team probability exchange format: uint8 memmap of prob*255
-    (convert_from_see_v3_bugfix.py:107-110)."""
+    (convert_from_see_v3_bugfix.py:107-110). Columns MUST already be in
+    AUDIO_NAMES order — reorder model outputs with
+    ``to_audio_names_order`` first."""
     mm = np.memmap(path, dtype="uint8", mode="w+", shape=probs.shape)
     mm[...] = (probs * 255).astype(np.uint8)
     mm.flush()

@@ -120,6 +120,55 @@ def test_submission_csvs_and_memmap(tmp_path):
     assert back.argmax(-1).tolist() == [0, 1, 2]
 
 
+def test_memmap_exchange_order_end_to_end(tmp_path):
+    """Model-order probs must be reordered to AUDIO_NAMES before the
+    uint8 memmap: the 12-class MODEL order is classes.py:7's
+    'stop down off right up go on yes left no' while the exchange
+    format is AUDIO_NAMES — only silence/unknown/'on' coincide.
+    Regression for the round-3 integration bug where a 99.3%-accurate
+    teacher produced 25.7%-accurate pseudo labels (every per-class
+    count looked plausible; the labels were silently permuted)."""
+    from speech_recognition_tpu.infer.submission import (
+        AUDIO_NAMES, map_to_valid, to_audio_names_order,
+    )
+    from speech_recognition_tpu.tools.pseudo import pseudo_by_threshold
+
+    int2label = get_int2label(wanted_only=True)
+    n = len(int2label)
+    # the model order is NOT the exchange order (the bug's premise)
+    model_names = [map_to_valid(int2label[i]) for i in range(n)]
+    assert model_names != AUDIO_NAMES
+    assert sorted(model_names) == sorted(AUDIO_NAMES)
+    # one confident clip per model class, in MODEL column order
+    probs = np.full((n, n), 0.3 / (n - 1), np.float32)
+    np.fill_diagonal(probs, 0.95)
+    ex = to_audio_names_order(probs, int2label)
+    for i in range(n):
+        assert int(ex[i].argmax()) == AUDIO_NAMES.index(model_names[i])
+    # through the memmap + threshold tool: each clip must land in the
+    # directory of its TRUE label
+    mm_path = str(tmp_path / "p.memmap")
+    write_uint8_memmap(mm_path, ex)
+    back = read_uint8_memmap(mm_path, n, n)
+    from speech_recognition_tpu.data.wav import save_wav_file
+    audio = tmp_path / "audio"
+    audio.mkdir()
+    fnames = []
+    for i in range(n):
+        fn = f"clip_{i}.wav"
+        save_wav_file(str(audio / fn),
+                      np.zeros(400, np.float32), 16000)
+        fnames.append(fn)
+    out = tmp_path / "pseudo"
+    pseudo_by_threshold(fnames, back, str(audio), str(out),
+                        prob_thresh=0.7)
+    for i in range(n):
+        name = model_names[i]
+        if name == "silence":
+            continue  # silence clips buffer into grouped background WAVs
+        assert (out / name / f"clip_{i}.wav").exists(), name
+
+
 def _write_sub(path, rows):
     with open(path, "w", newline="") as f:
         w = csv.writer(f)
