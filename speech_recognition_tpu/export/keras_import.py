@@ -85,7 +85,10 @@ def _transform(layer: str, weight_name: str,
     if wn == "gamma":
         return [("scale", arr)]
     if wn == "beta":
-        return [("bias", arr)]
+        # distinct kind from plain layer bias: a BN beta must never be
+        # matched to a same-length Conv/Dense/GRU bias slot (real hazard:
+        # conv_1d_gru's Dense(256) bias vs its [256] BN betas)
+        return [("beta", arr)]
     if wn == "moving_mean":
         return [("mean", arr)]
     if wn == "moving_variance":
@@ -110,6 +113,11 @@ def import_keras_hdf5(h5_path: str, variables: Dict[str, Any],
     stat_slots = list(_ordered_leaves(variables.get("batch_stats", {})))
 
     def kind_of(path: Tuple[str, ...]) -> str:
+        # flax BatchNorm stores beta as 'bias'; reclassify so BN betas
+        # and plain biases form disjoint matching groups (see _transform)
+        if path[-1] == "bias" and len(path) >= 2 \
+                and path[-2].startswith("BatchNorm"):
+            return "beta"
         return path[-1]
 
     assigned: Dict[Tuple[str, ...], np.ndarray] = {}

@@ -644,7 +644,13 @@ class _ResidualFeatureTrunk(nn.Module):
         for f, s in plan:
             x = L.Residual1D(f, 3, strides=s,
                              pool_mode="pool_eq_stride")(x, train)
-        att = L.DepthwiseConvBlock(1, 3, padding="same")(x, train)
+        # explicit name sorting AFTER Residual1D_*: the attention block's
+        # [3,1,256] depthwise kernel shares a (kind, shape) group with the
+        # trunk's f=256 blocks, so flax module order must match Keras
+        # creation order (keras_import order-congruence requirement,
+        # pinned by the conv_1d_log_mfcc/spectrogram TF twins).
+        att = L.DepthwiseConvBlock(1, 3, padding="same",
+                                   name="zz_attention")(x, train)
         att = jax.nn.softmax(att, axis=1)
         x = x * att
         x = L.global_avg_pool(x)
