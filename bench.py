@@ -97,7 +97,7 @@ def _trace_subprocess():
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
-            capture_output=True, text=True, timeout=900)
+            capture_output=True, text=True, timeout=1500)
         for line in reversed(proc.stdout.strip().splitlines()):
             line = line.strip()
             if line.startswith("{"):
@@ -107,10 +107,64 @@ def _trace_subprocess():
     return None
 
 
+SCALES = {
+    # name -> (num_train, num_val, num_pseudo, background_len)
+    "full_corpus": (NUM_TRAIN, NUM_VAL, NUM_PSEUDO, BACKGROUND_LEN),
+    "half_corpus": (32768, 1024, 1024, BACKGROUND_LEN),
+    "small": (8192, 256, 256, 16000 * 30),
+    "tiny": (4096, 256, 256, 16000 * 30),  # BENCH_SMALL / CI
+}
+
+
+def _scale_subprocess(trace):
+    """Try each bank scale in a FRESH interpreter, largest first.
+
+    The bench chip can be shared: transient HBM pressure from other
+    tenants has been observed to fail the full-corpus working set
+    (~5 GB of banks), and once a process hits RESOURCE_EXHAUSTED its
+    own staged buffers are not reliably reclaimed mid-process through
+    the tunnel — in-process fallback then fails every smaller scale
+    too. A child process per attempt frees everything at exit, so each
+    scale gets a clean allocator. The scale used is recorded in the
+    diagnostics JSON (``bank_scale``)."""
+    import subprocess
+    import time as _t
+    order = (["tiny"] if os.environ.get("BENCH_SMALL")
+             else ["full_corpus", "half_corpus", "small"])
+    for i, scale in enumerate(order):
+        if i:
+            _t.sleep(30)
+        env = dict(os.environ)
+        env["BENCH_SCALE"] = scale
+        env["BENCH_TRACE_JSON"] = json.dumps(trace or {})
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True, timeout=2100)
+        except Exception as e:
+            print(f"scale {scale} subprocess error: {e}", file=sys.stderr)
+            continue
+        sys.stderr.write(proc.stderr[-4000:])
+        out = [l.strip() for l in proc.stdout.strip().splitlines()
+               if l.strip().startswith("{")]
+        if proc.returncode == 0 and out:
+            print(out[-1])
+            return True
+        print(f"scale {scale} failed (rc={proc.returncode}); "
+              f"falling back", file=sys.stderr)
+    return False
+
+
 def main():
     if os.environ.get("BENCH_TRACE_ONLY"):
         return _trace_only()
-    trace = _trace_subprocess()
+    if not os.environ.get("BENCH_SCALE"):
+        trace = _trace_subprocess()
+        if not _scale_subprocess(trace):
+            raise SystemExit("no bench scale fits the current device "
+                             "memory")
+        return
+    trace = json.loads(os.environ.get("BENCH_TRACE_JSON", "{}")) or None
     import jax
     # persistent compile cache: the train-step program is large and the
     # bench host may have few cores; cache across runs
@@ -135,13 +189,12 @@ def main():
         dct_coefficient_count=80, num_log_mel_features=60,
         output_representation="raw")
     small = bool(os.environ.get("BENCH_SMALL"))  # CI / low-memory hosts
+    scale_used = os.environ["BENCH_SCALE"]
+    n_train, n_val, n_pseudo, bg_len = SCALES[scale_used]
     dataset = synthetic_device_dataset(
-        num_train=4096 if small else NUM_TRAIN,
-        num_val=256 if small else NUM_VAL,
-        num_pseudo=256 if small else NUM_PSEUDO,
-        num_classes=12,
-        num_background=BACKGROUND_CLIPS,
-        background_len=16000 * 30 if small else BACKGROUND_LEN)
+        num_train=n_train, num_val=n_val, num_pseudo=n_pseudo,
+        num_classes=12, num_background=BACKGROUND_CLIPS,
+        background_len=bg_len)
     trainer = Trainer(
         model_name="conv_1d_time_sliced_with_attention",
         settings=settings, dataset=dataset,
@@ -149,68 +202,70 @@ def main():
         batch_size=384,
         compute_dtype=os.environ.get("BENCH_DTYPE", "auto"))
     state = trainer.init_state()
-    # Measurement protocol (VERDICT r2 item 3 / advisor finding):
-    # wall aggregates through the tunnel carry additive host/transport
-    # noise in minute-scale slow periods (observed same-program swings
-    # 183k-427k clips/s), so a FIXED fan of reps spaced 30 s apart
-    # samples across periods — no early exit, and in particular no
-    # hard-coded expected score deciding when to stop. Best-of is the
-    # closest wall estimate of device truth (noise is additive); the
-    # full rep distribution is emitted so the selection is auditable,
-    # and a jax.profiler trace supplies a device-busy corroboration
-    # ceiling (per-op instrumentation inflates traced time ~2-3x, so
-    # the wall best must sit BELOW it; a wall best above the traced
-    # ceiling would flag a broken measurement).
+    # Measurement protocol (round 3, honest-sync revision): on this
+    # platform `block_until_ready` does NOT wait for remote execution
+    # (see export/benchmark.py module doc), so every timing here ends in
+    # a device_get of the final step's metrics — the donated-state chain
+    # makes that force all 100 timed steps. Steps are dispatched 25 per
+    # XLA execution (lax.scan; identical update semantics) to amortize
+    # the ~10-15 ms per-execution transport cost of the tunnel. A fixed
+    # fan of reps spaced 30 s apart samples across tunnel noise periods
+    # (no early exit, no expected-score constant); best-of is the
+    # closest estimate of steady-state capability, the full distribution
+    # is emitted so the selection is auditable. The jax.profiler trace
+    # supplies device-busy time: a mild LOWER bound for honest wall
+    # (wall below traced busy would mean the protocol is broken again).
     import time
     flops = _flops_per_step(trainer, state)
     bank_clips = int(dataset.wav_bank.shape[0])
     bank_gb = round(dataset.wav_bank.size * 2 / 1e9, 2)
     if trace:
         print(f"trace: {trace['device_ms_per_step']:.4f} ms/step "
-              f"device-busy under instrumentation "
-              f"({trace['device_clips_per_sec']:.0f} clips/s floor)",
-              file=sys.stderr)
+              f"device-busy ({trace['device_clips_per_sec']:.0f} "
+              f"clips/s device-only ceiling)", file=sys.stderr)
     reps = []
     num_reps = 3 if small else 6
     for rep in range(num_reps):
         if rep:
             time.sleep(30)
-        state, r = benchmark_train(trainer, state, steps=100,
-                                   warmup=10 if rep == 0 else 5)
+        try:
+            state, r = benchmark_train(trainer, state, steps=100,
+                                       warmup=10 if rep == 0 else 5,
+                                       steps_per_dispatch=25)
+        except Exception as e:
+            # a failed allocation wedges this process's device memory —
+            # stop here; recorded reps (if any) still count, otherwise
+            # the parent falls back to a smaller scale in a fresh process
+            print(f"rep {rep} failed ({type(e).__name__}); stopping reps",
+                  file=sys.stderr)
+            break
         print(f"rep {rep}: {r['clips_per_sec']:.1f} clips/s",
               file=sys.stderr)
         reps.append(r)
+    if not reps:
+        raise SystemExit("all bench reps failed")
     result = min(reps, key=lambda r: r["ms_per_step"])
     value = result["clips_per_sec"]
-    value_source = "wall_best"
-    if trace and trace["device_clips_per_sec"] > value:
-        # Tunnel-noise-bound run: the device provably executed the
-        # traced steps in device_busy time (itself inflated 2-3x by
-        # instrumentation), so the traced clips/s is a hard LOWER bound
-        # on device capability. Report it instead of the slower wall
-        # number — still an under-estimate, but a corroborated one.
-        value = trace["device_clips_per_sec"]
-        value_source = "traced_floor"
 
     diag = dict(result)
-    diag["value_source"] = value_source
+    diag["sync"] = "chained device_get readback (block_until_ready is "\
+        "not a sync barrier on this platform)"
     rep_ms = sorted(r["ms_per_step"] for r in reps)
     diag["wall_reps_ms_per_step"] = [round(m, 4) for m in rep_ms]
     diag["wall_median_ms_per_step"] = round(
         rep_ms[len(rep_ms) // 2], 4)
     if trace:
-        # Instrumented device-busy time: an upper bound on true device
-        # time (tracing overhead ~2-3x). A wall best ABOVE this ceiling
-        # would mean the wall measurement is broken.
         diag["traced_device_ms_per_step"] = round(
             trace["device_ms_per_step"], 4)
         diag["traced_on"] = "small_bank_twin"
         diag["wall_best_over_traced"] = round(
             result["ms_per_step"] / trace["device_ms_per_step"], 3)
-        diag["trace_corroborates_wall"] = bool(
-            result["ms_per_step"] <= trace["device_ms_per_step"] * 1.05)
+        # honest wall sits at/above device busy; below means broken sync
+        diag["measurement_suspect"] = bool(
+            result["ms_per_step"] < trace["device_ms_per_step"] * 0.9)
     diag["bank_clips"] = bank_clips
     diag["bank_gb"] = bank_gb
+    diag["bank_scale"] = scale_used
     if flops:
         achieved = flops / (result["ms_per_step"] / 1e3)
         diag["flops_per_step"] = flops
@@ -218,9 +273,9 @@ def main():
         diag["mfu_vs_bf16_peak"] = round(
             achieved / V5E_BF16_PEAK_FLOPS, 4)
         if trace:
-            # conservative floor: MFU if the device were only as fast
-            # as the instrumented trace says
-            diag["mfu_floor_vs_traced"] = round(
+            # device-busy MFU: utilization while the chip is actually
+            # executing (excludes tunnel/host gaps the wall includes)
+            diag["mfu_device_busy"] = round(
                 flops / (trace["device_ms_per_step"] / 1e3)
                 / V5E_BF16_PEAK_FLOPS, 4)
     print(f"diagnostics: {json.dumps(diag)}", file=sys.stderr)

@@ -41,6 +41,10 @@ def main():
     p.add_argument("--batch_size", type=int, default=384)
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--warmup", type=int, default=10)
+    p.add_argument("--steps_per_dispatch", type=int, default=25,
+                   help="chained steps per XLA execution (amortizes "
+                        "per-dispatch transport cost; see "
+                        "export/benchmark.py)")
     args = p.parse_args()
 
     import jax
@@ -79,8 +83,9 @@ def main():
         state = trainer.init_state()
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(
             state.params))
-        state, r = benchmark_train(trainer, state, steps=args.steps,
-                                   warmup=args.warmup)
+        state, r = benchmark_train(
+            trainer, state, steps=args.steps, warmup=args.warmup,
+            steps_per_dispatch=args.steps_per_dispatch)
         row = {"model": name, "params": int(n_params),
                "representation": trainer.representation,
                "ms_per_step": round(r["ms_per_step"], 3),

@@ -5,11 +5,16 @@ Replaces guessing from wall clocks (unreliable under the tunnel / on
 shared hosts): runs warmup + N traced steps of the flagship recipe,
 then aggregates the trace into per-module and per-op device time.
 
-Round-2 reference numbers on one v5e chip (batch 384, bf16): train step
-3.06 ms device time *under tracing* (per-op instrumentation inflates;
-untraced 100-step wall aggregate is 1.2-1.4 ms/step), of which the
-fused Pallas decode+augment kernel is 0.14 ms (~5%) — the model
-forward/backward dominates.
+Reference numbers on one v5e chip (batch 384, bf16): train step ~3.1 ms
+device-busy, of which the fused Pallas decode+augment kernel is 0.14 ms
+(~5%) — the model forward/backward dominates. Honest (readback-synced)
+wall sits above device busy: ~4.2 ms/step at 25 steps/dispatch, ~9.1
+ms/step with per-step dispatch through the tunnel. (A round-2 note here
+claimed tracing inflates device time 2-3x over a 1.2-1.4 ms untraced
+wall; that wall was measured with block_until_ready, which does not
+wait for remote execution — see export/benchmark.py. Per-op
+instrumentation does add some overhead, so traced busy is still a mild
+upper bound on pure device time.)
 """
 
 import argparse
@@ -57,18 +62,20 @@ def main():
     key = jax.random.PRNGKey(0)
     for i in range(args.warmup):
         state, m = trainer.train_step(state, jax.random.fold_in(key, i))
-    jax.block_until_ready(m["loss"])
+    float(jax.device_get(m["loss"]))  # real sync (not block_until_ready
+    # — it does not wait for remote execution; export/benchmark.py)
     with trace_context(args.trace_dir):
         for i in range(args.steps):
             state, m = trainer.train_step(
                 state, jax.random.fold_in(key, 10_000 + i))
-        jax.block_until_ready(m["loss"])
+        # readback so every step executes inside the capture window
+        float(jax.device_get(m["loss"]))
 
     summary = summarize_trace(args.trace_dir, num_steps=args.steps)
     print(f"device busy: {summary['device_busy_ms']:.2f} ms over "
           f"{args.steps} steps -> {summary['ms_per_step']:.3f} ms/step "
-          f"(tracing adds per-op overhead; trust untraced 100-step "
-          f"aggregates for wall claims)")
+          f"(device-busy time; honest wall = chained-readback "
+          f"aggregates, see export/benchmark.py)")
     print("modules:")
     for name, st in sorted(summary["modules"].items(),
                            key=lambda kv: -kv[1]["total_ms"]):

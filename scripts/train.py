@@ -48,6 +48,10 @@ def parse_args():
                         "(f32 master weights); auto = bfloat16 on TPU, "
                         "float32 elsewhere")
     p.add_argument("--steps_per_epoch", type=int, default=0)
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="chained train steps per XLA dispatch (lax.scan);"
+                        " >1 amortizes per-execution dispatch/transport"
+                        " cost with identical update semantics")
     p.add_argument("--bn_recalibration_batches", type=int, default=0,
                    help="re-estimate BatchNorm stats over N fresh batches "
                         "before each validation sweep (recommended for "
@@ -199,7 +203,8 @@ def main():
         state, history = trainer.fit(
             state, epochs=args.epochs, steps_per_epoch=steps,
             callbacks=callbacks,
-            bn_recalibration_batches=args.bn_recalibration_batches)
+            bn_recalibration_batches=args.bn_recalibration_batches,
+            steps_per_dispatch=args.steps_per_dispatch)
         if args.bn_recalibration_batches:
             state = trainer.recalibrate_batch_stats(
                 state, args.bn_recalibration_batches)

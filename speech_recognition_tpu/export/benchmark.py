@@ -1,6 +1,18 @@
 """Benchmark harness (replaces the Pi `benchmark_model` binary,
 README.md:146-157): reports clips/sec and ms/step for the end-to-end
 train step (sample+augment+frontend+fwd/bwd+update) and for inference.
+
+Synchronization contract (round-3 finding): on the axon-tunnel TPU
+platform ``jax.Array.block_until_ready`` returns WITHOUT waiting for
+remote device completion — a timing loop "blocked" on it measures host
+dispatch rate, not execution (a chain of 50 8192^3 bf16 matmuls
+"completed" in ~1 ms wall; the device alone needs ~280 ms at peak).
+The only reliable sync is a device->host readback of a COMPUTED value
+(``jax.device_get``), and the computation being timed must form one
+dependency chain ending in that value, so the readback transitively
+forces every step. Both harnesses below are built on that protocol:
+training steps chain through the donated state; inference batches are
+chained by accumulating a scalar probe of each output.
 """
 
 from __future__ import annotations
@@ -12,44 +24,74 @@ import jax
 import numpy as np
 
 
-def _block(tree):
-    jax.tree_util.tree_map(
-        lambda x: x.block_until_ready()
-        if isinstance(x, jax.Array) else x, tree)
+def _force(tree) -> Dict[str, float]:
+    """Real synchronization: pull the (scalar) leaves to the host.
+
+    ``jax.device_get`` completes only after the producing computation —
+    and, through data dependencies, everything upstream of it — has
+    actually executed. Returns the fetched values so callers can report
+    them. Do NOT replace with ``block_until_ready`` (see module doc).
+    """
+    return {k: float(v) for k, v in jax.device_get(tree).items()}
 
 
 def benchmark_train(trainer, state, steps: int = 100,
-                    warmup: int = 10):
+                    warmup: int = 10, steps_per_dispatch: int = 1):
     """Steady-state training throughput on the current devices.
 
-    Per-step dispatch with async pipelining (the same shape as the real
-    epoch loop); blocked on the final step's metrics so the full chain is
-    measured. (A lax.scan variant was measured at 190 ms/step vs 1.4
-    ms/step for this path on real v5e and deleted — see train/loop.py.)
+    ``steps_per_dispatch > 1`` executes that many chained steps per XLA
+    program via ``Trainer.train_many`` (a ``lax.scan``) — one remote
+    execution per chunk instead of one per step. On the tunneled bench
+    host this amortizes a ~10-15 ms per-execution transport cost
+    (measured: flagship batch-384 goes ~9.1 -> ~4.2 ms/step wall from
+    per-step to 25-step dispatch, against ~3.1 ms/step traced device
+    busy); on a local TPU VM it still removes per-step host dispatch
+    work. Semantics are step-for-step identical to the per-step path
+    (same key sequence — pinned by tests/test_train.py).
+
+    The timed region ends with a ``device_get`` of the final step's
+    metrics; the state chain makes that force every timed step.
 
     Returns ``(state, metrics_dict)`` — the train step donates its state
     buffer, so the caller must thread the returned state into any
     subsequent use instead of reusing the argument.
     """
+    if steps_per_dispatch < 1 or steps % steps_per_dispatch:
+        raise ValueError("steps must be a multiple of steps_per_dispatch")
     key = jax.random.PRNGKey(123)
-    # keys precomputed like the production fit() loop (one split/epoch)
-    keys = jax.random.split(key, warmup + steps)
-    for i in range(warmup):
-        state, metrics = trainer.train_step(state, keys[i])
-    _block(metrics)
+
+    def _run(state, lo, hi):
+        if steps_per_dispatch == 1:
+            for i in range(lo, hi):
+                state, metrics = trainer.train_step(state, keys[i])
+        else:
+            for i in range(lo, hi, steps_per_dispatch):
+                state, metrics = trainer.train_many(
+                    state, keys[i:i + steps_per_dispatch])
+            metrics = {k: v[-1] for k, v in metrics.items()}
+        return state, metrics
+
+    # round warmup UP to whole chunks: at least one warm execution of
+    # the chunked program must run so compile time stays out of the
+    # timed region
+    warm = -(-max(warmup, 1) // steps_per_dispatch) * steps_per_dispatch
+    keys = jax.random.split(key, warm + steps)
+    state, metrics = _run(state, 0, warm)
+    _force(metrics)
     t0 = time.perf_counter()
-    for i in range(steps):
-        state, metrics = trainer.train_step(state, keys[warmup + i])
-    _block(metrics)
+    state, metrics = _run(state, warm, warm + steps)
+    final = _force(metrics)  # completes only when the whole chain has run
     dt = time.perf_counter() - t0
     clips = steps * trainer.batch_size
     num_devices = len(jax.devices())
     return state, {
         "steps": steps,
         "batch_size": trainer.batch_size,
+        "steps_per_dispatch": steps_per_dispatch,
         "ms_per_step": 1000.0 * dt / steps,
         "clips_per_sec": clips / dt,
         "clips_per_sec_per_chip": clips / dt / num_devices,
+        "final_loss": final.get("loss"),
     }
 
 
@@ -57,12 +99,12 @@ def traced_train_device_time(trainer, state, steps: int = 20,
                              warmup: int = 2):
     """Device-busy truth for the train step from a ``jax.profiler`` trace.
 
-    Wall aggregates through the tunnel carry additive host/transport
-    noise; the trace records how long the device actually ran each XLA
-    module. NOTE: per-op trace instrumentation inflates device time
-    ~2-3x vs untraced execution on this platform (see
-    scripts/profile_step.py), so the traced number is an upper bound on
-    true device time, useful as a sanity ceiling for wall claims.
+    The trace records how long the device actually ran each XLA module —
+    host/transport time (the bulk of per-step wall on the tunneled bench
+    host) is excluded. Per-op instrumentation adds some overhead, so
+    treat the traced number as a mild upper bound on pure device time;
+    an honest (readback-synced) wall measurement should sit at or ABOVE
+    it — wall below traced busy means the wall protocol is broken.
 
     Returns ``(state, summary)`` where summary is
     ``{"device_ms_per_step", "device_clips_per_sec", "device_busy_ms",
@@ -79,14 +121,14 @@ def traced_train_device_time(trainer, state, steps: int = 20,
     keys = jax.random.split(jax.random.PRNGKey(321), warmup + steps)
     for i in range(warmup):
         state, metrics = trainer.train_step(state, keys[i])
-    _block(metrics)
+    _force(metrics)
     try:
         with tempfile.TemporaryDirectory() as td:
             with trace_context(td):
                 for i in range(steps):
                     state, metrics = trainer.train_step(
                         state, keys[warmup + i])
-                _block(metrics)
+                _force(metrics)
             summary = summarize_trace(td, num_steps=steps)
     except Exception:
         return state, None
@@ -105,17 +147,27 @@ def traced_train_device_time(trainer, state, steps: int = 20,
 def benchmark_inference(predictor, variables, batch_size: int = 384,
                         steps: int = 20, warmup: int = 3,
                         desired_samples: int = 16000) -> Dict[str, float]:
+    """Inference throughput with forced completion.
+
+    Each ``predict`` call is independent, so a readback of the last
+    output would NOT force the earlier ones (unlike training, where the
+    state chains). A scalar probe of every output is accumulated into
+    one value instead; fetching it forces all ``steps`` executions.
+    """
     import jax.numpy as jnp
     wav = jnp.asarray(
         np.random.default_rng(0).uniform(
             -0.1, 0.1, (batch_size, desired_samples)).astype(np.float32))
+    probe = jax.jit(lambda acc, p: acc + p.sum())
+    acc = jnp.float32(0.0)
     for _ in range(warmup):
-        probs = predictor.predict(variables, wav)
-    probs.block_until_ready()
+        acc = probe(acc, predictor.predict(variables, wav))
+    float(jax.device_get(acc))
+    acc = jnp.float32(0.0)
     t0 = time.perf_counter()
     for _ in range(steps):
-        probs = predictor.predict(variables, wav)
-    probs.block_until_ready()
+        acc = probe(acc, predictor.predict(variables, wav))
+    float(jax.device_get(acc))
     dt = time.perf_counter() - t0
     clips = steps * batch_size
     return {

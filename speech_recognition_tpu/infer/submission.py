@@ -93,7 +93,13 @@ def predict_directory(predictor, variables, test_dir: str,
             probs = predictor.predict(variables, wav, slow)
             pending.append((probs, pad))
             if i >= 8:
-                pending[i - 8][0].block_until_ready()
+                # convert the 8-batches-ago result (small: batch x
+                # classes) — a real completion barrier; on platforms
+                # where block_until_ready does not wait for remote
+                # execution (export/benchmark.py) only a readback
+                # bounds the in-flight queue
+                pending[i - 8] = (np.asarray(pending[i - 8][0]),
+                                  pending[i - 8][1])
             if progress:
                 print(f"  {min(start + batch_size, n)}/{n}")
     all_probs = []

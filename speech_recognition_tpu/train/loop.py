@@ -304,6 +304,14 @@ class Trainer:
             key, pseudo_frequency, ds, bank_chunks, bg_chunks)
         return self._update_step(state, x, labels, k_drop)
 
+    def _train_many(self, state: TrainState, keys: jax.Array,
+                    pseudo_frequency: jax.Array, ds: DeviceDataset,
+                    bank_chunks, bg_chunks):
+        def body(st, k):
+            return self._train_step(st, k, pseudo_frequency, ds,
+                                    bank_chunks, bg_chunks)
+        return jax.lax.scan(body, state, keys)
+
     def _stream_step(self, state: TrainState, key: jax.Array,
                      wav: jax.Array, labels: jax.Array,
                      silence: jax.Array, background):
@@ -353,6 +361,37 @@ class Trainer:
             state, key, jnp.asarray(pseudo_frequency, jnp.float32),
             self.dataset, self._bank_chunks, self._bg_chunks)
 
+    def train_many(self, state: TrainState, keys: jax.Array,
+                   pseudo_frequency: Optional[float] = None):
+        """``len(keys)`` chained train steps as ONE compiled program.
+
+        A ``lax.scan`` of ``_train_step`` over the per-step PRNG keys:
+        step-for-step identical to calling ``train_step`` with the same
+        key sequence (pinned by tests/test_train.py), but dispatched as
+        a single XLA execution. That amortizes per-execution host and
+        transport cost — on the tunneled bench host one remote
+        execution costs ~10-15 ms regardless of size, so per-step
+        dispatch caps throughput well below device speed (flagship
+        batch 384: ~9.1 ms/step per-step vs ~4.2 ms/step at 25
+        steps/dispatch vs ~3.1 ms/step traced device busy).
+
+        Returns ``(state, metrics)`` with each metric stacked over the
+        scanned steps (shape ``[len(keys)]``). Each distinct
+        ``len(keys)`` compiles its own executable (jit shape cache).
+        """
+        if self.dataset is None:
+            raise ValueError("no DeviceDataset — this trainer is in "
+                             "streaming mode; use train_step_stream / "
+                             "fit_streaming")
+        if pseudo_frequency is None:
+            pseudo_frequency = self.augment.pseudo_frequency
+        if not hasattr(self, "_jit_train_many"):
+            self._jit_train_many = jax.jit(self._train_many,
+                                           donate_argnums=0)
+        return self._jit_train_many(
+            state, keys, jnp.asarray(pseudo_frequency, jnp.float32),
+            self.dataset, self._bank_chunks, self._bg_chunks)
+
     def train_step_stream(self, state: TrainState, key: jax.Array,
                           wav: jax.Array, labels: jax.Array,
                           silence: jax.Array):
@@ -391,19 +430,25 @@ class Trainer:
                 for k, v in m.items():
                     history.setdefault(k, []).append(v)
         if metrics is not None:
-            jax.block_until_ready(metrics["loss"])
+            # the float() readbacks force the step chain before the
+            # clips_per_sec timestamp (block_until_ready does not
+            # guarantee completion on every platform — see
+            # export/benchmark.py)
             for k, v in metrics.items():
                 history.setdefault(k, []).append(float(v))
         history["clips_per_sec"] = [
             steps * self.batch_size / max(time.time() - t0, 1e-9)]
         return state, history
 
-    # NOTE: a lax.scan "train_many" path existed through round 2 and was
-    # deleted after a head-to-head on real v5e: per-step dispatch 1.40
-    # ms/step vs 190 ms/step for the identical body under scan (the
-    # Pallas augment kernel included) -- XLA's scan lowering serializes
-    # the data path on this toolchain. Per-step async dispatch is the
-    # one code path.
+    # HISTORY: a lax.scan "train_many" path was deleted in round 2 after
+    # a head-to-head that read 1.40 ms/step (per-step) vs 190 ms/step
+    # (scan). That comparison was invalid: the per-step number was taken
+    # with block_until_ready, which does not wait for remote execution
+    # on this platform (export/benchmark.py module doc), so it measured
+    # dispatch rate. Under honest chained-readback timing the ranking
+    # inverts — flagship batch 384: ~9.1 ms/step per-step vs ~4.2
+    # ms/step scanned at 25 steps/dispatch — and train_many (above) was
+    # reinstated in round 3.
 
 
     def _stats_step(self, state: TrainState, key: jax.Array,
@@ -561,6 +606,7 @@ class Trainer:
             pseudo_schedule: Optional[Callable[[int], float]] = None,
             log_every: int = 0,
             bn_recalibration_batches: int = 0,
+            steps_per_dispatch: int = 1,
             ) -> Tuple[TrainState, Dict[str, list]]:
         """Epoch loop with per-epoch validation metrics.
 
@@ -572,6 +618,11 @@ class Trainer:
         ``bn_recalibration_batches`` > 0 re-estimates BatchNorm running
         statistics before each validation sweep (see
         ``recalibrate_batch_stats``) — recommended for short schedules.
+        ``steps_per_dispatch`` > 1 executes that many chained steps per
+        XLA dispatch (``train_many``); same updates and key sequence,
+        fewer remote executions — see ``train_many`` for measurements.
+        A non-multiple epoch length costs one extra executable for the
+        tail chunk.
         """
         if self.dataset is None:
             raise ValueError("fit() needs a DeviceDataset; use "
@@ -589,18 +640,26 @@ class Trainer:
             # one split per epoch instead of a fold_in dispatch per step
             epoch_keys = jax.random.split(
                 jax.random.fold_in(base_key, epoch), steps_per_epoch)
-            for step in range(steps_per_epoch):
-                state, metrics = self.train_step(state, epoch_keys[step],
-                                                 pf)
-                if log_every and (step + 1) % log_every == 0:
-                    m = {k: float(v) for k, v in metrics.items()}
-                    print(f"  step {step + 1}/{steps_per_epoch}: {m}")
-                running = metrics
-            # block on the last step so epoch timing covers real work
-            # (dispatch is async; without this the wall time is bogus)
-            jax.block_until_ready(running["loss"])
-            train_time = time.time() - t0
+            step = 0
+            while step < steps_per_epoch:
+                chunk = min(steps_per_dispatch, steps_per_epoch - step)
+                if chunk > 1:
+                    state, ms = self.train_many(
+                        state, epoch_keys[step:step + chunk], pf)
+                    running = {k: v[-1] for k, v in ms.items()}
+                else:
+                    state, running = self.train_step(
+                        state, epoch_keys[step], pf)
+                step += chunk
+                if log_every and (step % log_every < chunk):
+                    m = {k: float(v) for k, v in running.items()}
+                    print(f"  step {step}/{steps_per_epoch}: {m}")
+            # the float() readback forces the whole step chain; epoch
+            # timing must cover real execution, and block_until_ready
+            # does NOT guarantee that on every platform (see
+            # export/benchmark.py module doc)
             logs = {k: float(v) for k, v in running.items()}
+            train_time = time.time() - t0
             logs["epoch_time_s"] = train_time
             logs["clips_per_sec"] = (
                 steps_per_epoch * self.batch_size / train_time)

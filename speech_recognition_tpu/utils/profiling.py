@@ -22,7 +22,9 @@ def trace_context(log_dir: str) -> Iterator[None]:
     Usage:
         with trace_context("traces/step100"):
             state, m = trainer.train_step(state, key)
-            jax.block_until_ready(m)
+            jax.device_get(m)   # readback: forces execution INSIDE the
+                                # capture window (block_until_ready does
+                                # not — see export/benchmark.py)
     """
     jax.profiler.start_trace(log_dir)
     try:

@@ -171,6 +171,41 @@ def test_eval_and_fit_epoch():
     assert history["clips_per_sec"][0] > 0
 
 
+def test_train_many_matches_sequential_steps():
+    """train_many (scan-of-K dispatch) must be step-for-step the same
+    update as K train_step calls with the same key sequence — it exists
+    to amortize per-execution dispatch cost, not to change semantics."""
+    keys = jax.random.split(jax.random.PRNGKey(3), 4)
+
+    t1 = _tiny_trainer()
+    s1 = t1.init_state()
+    for k in keys:
+        s1, m1 = t1.train_step(s1, k)
+
+    t2 = _tiny_trainer()
+    s2 = t2.init_state()
+    s2, m2 = t2.train_many(s2, keys)
+    assert m2["loss"].shape == (4,)
+    assert int(s2.step) == 4
+    np.testing.assert_allclose(float(m2["loss"][-1]), float(m1["loss"]),
+                               rtol=2e-5, atol=2e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+
+
+def test_fit_steps_per_dispatch_tail():
+    """fit(steps_per_dispatch=K) with an epoch length that is not a
+    multiple of K must run the tail chunk and keep history intact."""
+    trainer = _tiny_trainer()
+    state = trainer.init_state()
+    state, history = trainer.fit(state, epochs=1, steps_per_epoch=5,
+                                 steps_per_dispatch=3)
+    assert int(state.step) == 5
+    assert len(history["val_categorical_accuracy"]) == 1
+
+
 def test_batch_sharded_over_mesh():
     # the step must produce sharded intermediates: verify via output
     # commitment that the jitted step runs under the 8-device mesh and
