@@ -1,0 +1,74 @@
+"""The benchmark harness's sync protocol (export/benchmark.py).
+
+On the tunneled TPU platform ``block_until_ready`` does not wait for
+remote execution, so the harness must (a) force completion through a
+``device_get`` of a computed value and (b) keep the timed work on one
+dependency chain ending in that value. These tests pin the protocol
+mechanics on the CPU mesh: chunked dispatch equals per-step dispatch,
+warmup always covers the chunked executable, and the inference probe
+chains independent batches.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speech_recognition_tpu.config import (
+    AugmentConfig, prepare_model_settings,
+)
+from speech_recognition_tpu.data.device_bank import synthetic_device_dataset
+from speech_recognition_tpu.export.benchmark import (
+    benchmark_inference, benchmark_train,
+)
+from speech_recognition_tpu.train.loop import Trainer
+
+
+def _trainer():
+    settings = prepare_model_settings(
+        label_count=12, window_size_ms=30.0, window_stride_ms=10.0,
+        dct_coefficient_count=80, num_log_mel_features=40,
+        output_representation="mfcc")
+    ds = synthetic_device_dataset(num_train=64, num_val=32, num_pseudo=8)
+    return Trainer(model_name="conv_2d_fast", settings=settings,
+                   dataset=ds, augment=AugmentConfig(pseudo_frequency=0.25),
+                   batch_size=16)
+
+
+def test_benchmark_train_chunked_dispatch():
+    trainer = _trainer()
+    state = trainer.init_state()
+    # warmup=2 with steps_per_dispatch=5 must round warmup UP (compile
+    # stays out of the timed region) and still count exactly `steps`
+    state, r = benchmark_train(trainer, state, steps=10, warmup=2,
+                               steps_per_dispatch=5)
+    assert r["steps"] == 10
+    assert r["steps_per_dispatch"] == 5
+    assert int(state.step) == 15  # 5 warm (rounded up) + 10 timed
+    assert np.isfinite(r["final_loss"])
+    assert r["clips_per_sec"] > 0
+
+
+def test_benchmark_train_rejects_non_multiple():
+    trainer = _trainer()
+    state = trainer.init_state()
+    try:
+        benchmark_train(trainer, state, steps=10, warmup=2,
+                        steps_per_dispatch=3)
+    except ValueError:
+        return
+    raise AssertionError("steps=10, steps_per_dispatch=3 must raise")
+
+
+def test_benchmark_inference_probe_chains_batches():
+    class DummyPredictor:
+        calls = 0
+
+        def predict(self, variables, wav):
+            DummyPredictor.calls += 1
+            return jnp.ones((wav.shape[0], 12)) / 12.0
+
+    r = benchmark_inference(DummyPredictor(), {}, batch_size=4,
+                            steps=5, warmup=1, desired_samples=128)
+    assert DummyPredictor.calls == 6  # warmup + steps all executed
+    assert r["clips_per_sec"] > 0
+    assert r["ms_per_batch"] > 0
