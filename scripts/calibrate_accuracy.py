@@ -50,6 +50,10 @@ def parse_args():
                         "artifacts and report their validation accuracy "
                         "delta")
     p.add_argument("--output_representation", default="raw")
+    p.add_argument("--steps_per_dispatch", type=int, default=8,
+                   help="chained steps per XLA dispatch (identical "
+                        "updates; amortizes per-execution transport "
+                        "cost — see export/benchmark.py)")
     return p.parse_args()
 
 
@@ -120,7 +124,8 @@ def main():
     state, _ = trainer.fit(
         state, epochs=args.epochs, steps_per_epoch=steps,
         callbacks=[Collect(), plateau],
-        bn_recalibration_batches=args.bn_recalibration_batches)
+        bn_recalibration_batches=args.bn_recalibration_batches,
+        steps_per_dispatch=args.steps_per_dispatch)
     record = {
         "model": args.model,
         "compute_dtype": trainer.compute_dtype,
