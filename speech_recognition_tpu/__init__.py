@@ -15,6 +15,23 @@ device-resident, batch-sharded over a data-parallel mesh.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS") == "cpu":
+    # An explicit CPU request must actually win. Some deployments pin
+    # jax to a remote TPU plugin at the site level, where the
+    # JAX_PLATFORMS env var alone is not honored — backend discovery
+    # still contacts the remote service and can HANG if it is
+    # unreachable (observed on the bench tunnel). Pinning through
+    # jax.config before any backend initializes bypasses that hook, so
+    # subprocesses launched with JAX_PLATFORMS=cpu (tests, CI) stay
+    # deterministic-CPU regardless of tunnel state.
+    import jax as _jax
+    try:
+        _jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
 from speech_recognition_tpu import labels  # noqa: F401
 from speech_recognition_tpu.config import (  # noqa: F401
     AugmentConfig, ModelSettings, prepare_model_settings,
