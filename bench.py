@@ -155,10 +155,29 @@ def _scale_subprocess(trace):
     return False
 
 
+def _preflight():
+    """Fail FAST if the TPU service is unreachable (backend discovery
+    can hang indefinitely on a dead tunnel; better a clear error in
+    minutes than five silent child timeouts)."""
+    import subprocess
+    code = "import jax; print('DEVOK', len(jax.devices()))"
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True, timeout=300)
+        if "DEVOK" in proc.stdout:
+            return
+    except subprocess.TimeoutExpired:
+        raise SystemExit("TPU backend unreachable (device discovery "
+                         "hung >300 s) — cannot benchmark")
+    raise SystemExit(f"TPU backend failed to initialize: "
+                     f"{proc.stderr[-500:]}")
+
+
 def main():
     if os.environ.get("BENCH_TRACE_ONLY"):
         return _trace_only()
     if not os.environ.get("BENCH_SCALE"):
+        _preflight()
         trace = _trace_subprocess()
         if not _scale_subprocess(trace):
             raise SystemExit("no bench scale fits the current device "
@@ -206,11 +225,11 @@ def main():
     # platform `block_until_ready` does NOT wait for remote execution
     # (see export/benchmark.py module doc), so every timing here ends in
     # a device_get of the final step's metrics — the donated-state chain
-    # makes that force all 100 timed steps. Steps are dispatched 25 per
+    # makes that force all 100 timed steps. Steps are dispatched 50 per
     # XLA execution (lax.scan; identical update semantics) to amortize
     # the ~10-15 ms per-execution transport cost of the tunnel. A fixed
-    # fan of reps spaced 30 s apart samples across tunnel noise periods
-    # (no early exit, no expected-score constant); best-of is the
+    # fan of short-spaced reps samples residual noise (honest reps are
+    # ±1%; no early exit, no expected-score constant); best-of is the
     # closest estimate of steady-state capability, the full distribution
     # is emitted so the selection is auditable. The jax.profiler trace
     # supplies device-busy time: a mild LOWER bound for honest wall
@@ -227,11 +246,11 @@ def main():
     num_reps = 3 if small else 6
     for rep in range(num_reps):
         if rep:
-            time.sleep(30)
+            time.sleep(10)  # honest reps are ±1%; short spacing suffices
         try:
             state, r = benchmark_train(trainer, state, steps=100,
                                        warmup=10 if rep == 0 else 5,
-                                       steps_per_dispatch=25)
+                                       steps_per_dispatch=50)
         except Exception as e:
             # a failed allocation wedges this process's device memory —
             # stop here; recorded reps (if any) still count, otherwise
