@@ -185,7 +185,9 @@ def main():
         with loader:
             for epoch in range(args.epochs):
                 t0 = time.time()
-                state, h = trainer.fit_streaming(state, loader, spe)
+                state, h = trainer.fit_streaming(
+                    state, loader, spe,
+                    steps_per_dispatch=args.steps_per_dispatch)
                 logs = {k: v[-1] for k, v in h.items()}
                 logs["epoch_time_s"] = time.time() - t0
                 if args.bn_recalibration_batches:

@@ -402,8 +402,33 @@ class Trainer:
         return self._jit_stream_step(state, key, wav, labels, silence,
                                      self.background)
 
+    def _stream_many(self, state, keys, wavs, labels, silences,
+                     background):
+        def body(st, xs):
+            k, wav, lab, sil = xs
+            return self._stream_step(st, k, wav, lab, sil, background)
+        return jax.lax.scan(body, state, (keys, wavs, labels, silences))
+
+    def train_many_stream(self, state: TrainState, keys: jax.Array,
+                          wavs: jax.Array, labels: jax.Array,
+                          silences: jax.Array):
+        """K chained streamed updates as ONE compiled program.
+
+        The streaming analogue of ``train_many``: scans ``_stream_step``
+        over stacked host batches (``wavs`` ``[K, B, T]`` etc.), so K
+        updates cost one remote execution instead of K. Semantics are
+        step-for-step identical to ``train_step_stream`` with the same
+        key/batch sequence (pinned by tests/test_streaming_train.py).
+        """
+        if not hasattr(self, "_jit_stream_many"):
+            self._jit_stream_many = jax.jit(self._stream_many,
+                                            donate_argnums=0)
+        return self._jit_stream_many(state, keys, wavs, labels,
+                                     silences, self.background)
+
     def fit_streaming(self, state: TrainState, loader,
                       steps: int, log_every: int = 0,
+                      steps_per_dispatch: int = 1,
                       ) -> Tuple[TrainState, Dict[str, list]]:
         """Train from a ``HostPrefetchLoader`` (corpora that exceed HBM).
 
@@ -414,19 +439,36 @@ class Trainer:
         batch sharding of the global mesh — every process runs the same
         loop and XLA's collectives keep the replicated state in sync
         (identical to the bank path's DP semantics).
+        ``steps_per_dispatch`` > 1 stacks that many loader batches and
+        runs them as one scanned execution (``train_many_stream``) —
+        same updates, fewer remote executions.
         """
         history: Dict[str, list] = {}
         key = jax.random.PRNGKey(self.seed + 3)
         t0 = time.time()
         metrics = None
-        for step in range(steps):
-            wav, labels, silence = next(loader)
-            state, metrics = self.train_step_stream(
-                state, jax.random.fold_in(key, step), wav, labels,
-                silence)
-            if log_every and (step + 1) % log_every == 0:
+        step = 0
+        while step < steps:
+            chunk = min(steps_per_dispatch, steps - step)
+            if chunk > 1:
+                batches = [next(loader) for _ in range(chunk)]
+                keys = jnp.stack([jax.random.fold_in(key, step + i)
+                                  for i in range(chunk)])
+                state, ms = self.train_many_stream(
+                    state, keys,
+                    jnp.stack([b[0] for b in batches]),
+                    jnp.stack([b[1] for b in batches]),
+                    jnp.stack([b[2] for b in batches]))
+                metrics = {k: v[-1] for k, v in ms.items()}
+            else:
+                wav, labels, silence = next(loader)
+                state, metrics = self.train_step_stream(
+                    state, jax.random.fold_in(key, step), wav, labels,
+                    silence)
+            step += chunk
+            if log_every and (step % log_every < chunk):
                 m = {k: float(v) for k, v in metrics.items()}
-                print(f"  stream step {step + 1}/{steps}: {m}")
+                print(f"  stream step {step}/{steps}: {m}")
                 for k, v in m.items():
                     history.setdefault(k, []).append(v)
         if metrics is not None:

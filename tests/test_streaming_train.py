@@ -66,6 +66,66 @@ def test_fit_streaming_trains_and_evaluates(corpus):
     assert conf.sum() > 0 and np.isfinite(val_loss)
 
 
+def test_stream_many_matches_sequential(corpus):
+    """train_many_stream (scan over stacked host batches) must produce
+    the same updates as sequential train_step_stream calls with the
+    same keys/batches — it exists to amortize per-execution dispatch
+    cost, not to change semantics."""
+    settings = prepare_model_settings(
+        label_count=12, output_representation="mfcc",
+        dct_coefficient_count=40, num_log_mel_features=40)
+    val_ds = build_device_dataset(corpus, settings, modes=["validation"])
+
+    def make():
+        tr = Trainer(model_name="simple", settings=settings,
+                     dataset=val_ds, use_fused_augment=False,
+                     augment=AugmentConfig(), batch_size=16)
+        return tr, tr.init_state()
+
+    # identical batch sequence for both paths
+    t1, s1 = make()
+    with _loader(corpus, t1, 16) as loader:
+        batches = [next(loader) for _ in range(3)]
+    keys = [jax.random.fold_in(jax.random.PRNGKey(77), i)
+            for i in range(3)]
+    for k, (wav, lab, sil) in zip(keys, batches):
+        s1, m1 = t1.train_step_stream(s1, k, wav, lab, sil)
+
+    import jax.numpy as jnp
+    t2, s2 = make()
+    s2, m2 = t2.train_many_stream(
+        s2, jnp.stack(keys),
+        jnp.stack([b[0] for b in batches]),
+        jnp.stack([b[1] for b in batches]),
+        jnp.stack([b[2] for b in batches]))
+    assert m2["loss"].shape == (3,)
+    assert int(s2.step) == 3
+    np.testing.assert_allclose(float(m2["loss"][-1]), float(m1["loss"]),
+                               rtol=2e-5, atol=2e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+
+
+def test_fit_streaming_chunked_dispatch(corpus):
+    """fit_streaming(steps_per_dispatch=K) with a non-multiple step
+    count runs the tail and keeps the step counter exact."""
+    settings = prepare_model_settings(
+        label_count=12, output_representation="mfcc",
+        dct_coefficient_count=40, num_log_mel_features=40)
+    val_ds = build_device_dataset(corpus, settings, modes=["validation"])
+    trainer = Trainer(model_name="simple", settings=settings,
+                      dataset=val_ds, use_fused_augment=False,
+                      augment=AugmentConfig(), batch_size=16)
+    state = trainer.init_state()
+    with _loader(corpus, trainer, 16) as loader:
+        state, hist = trainer.fit_streaming(state, loader, steps=5,
+                                            steps_per_dispatch=2)
+    assert int(state.step) == 5
+    assert np.isfinite(hist["loss"][-1])
+
+
 def test_stream_step_without_any_dataset(corpus):
     # pure streaming: no DeviceDataset at all (background=None)
     settings = prepare_model_settings(
