@@ -236,8 +236,8 @@ def main():
     # (wall below traced busy would mean the protocol is broken again).
     import time
     flops = _flops_per_step(trainer, state)
-    bank_clips = int(dataset.wav_bank.shape[0])
-    bank_gb = round(dataset.wav_bank.size * 2 / 1e9, 2)
+    bank_clips = dataset.num_clips
+    bank_gb = round(dataset.wav_bank.size * 2 / 1e9, 2)  # actual HBM
     if trace:
         print(f"trace: {trace['device_ms_per_step']:.4f} ms/step "
               f"device-busy ({trace['device_clips_per_sec']:.0f} "

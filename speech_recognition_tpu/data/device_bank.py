@@ -49,19 +49,52 @@ class DeviceDataset(struct.PyTreeNode):
 
     A pytree node: pass it as a jit argument, never a closure capture —
     the bank is hundreds of MB and would be embedded in the program.
+
+    Two storage layouts for ``wav_bank``:
+
+    * flat (``chunked=False``): ``[num_files, T]`` int16 — the simple
+      form, used on CPU and whenever ``T`` is not lane-aligned.
+    * chunked (``chunked=True``): the periodic ``[num_files * pc, 2,
+      128]`` int16 chunk stack of ``ops.pallas.augment_kernel.
+      double_bank`` — the layout the fused augment path needs anyway.
+      Storing THIS as the one and only bank (built on the host, so the
+      flat form never touches HBM) cuts the training working set by
+      the flat bank's size (Speech Commands: ~2.4 GB of a ~7.3 GB
+      total) and removes the on-device doubling transient. ``decode``
+      reconstructs exact clips from the stack (each clip's chunk rows
+      are the clip tiled periodically, so their row-major prefix IS
+      the clip).
     """
 
-    wav_bank: jax.Array                 # [num_files, T] int16
+    wav_bank: jax.Array                 # int16; layout per `chunked`
     partitions: Dict[str, Partition]
     background: Optional[BackgroundBank]
     num_classes: int = struct.field(pytree_node=False)
     desired_samples: int = struct.field(pytree_node=False)
+    chunked: bool = struct.field(pytree_node=False, default=False)
 
     def set_size(self, mode: str) -> int:
         return self.partitions[mode].size
 
+    @property
+    def num_clips(self) -> int:
+        """Clips in the bank regardless of storage layout."""
+        if not self.chunked:
+            return int(self.wav_bank.shape[0])
+        from speech_recognition_tpu.ops.pallas.augment_kernel import (
+            fg_chunks_per_clip,
+        )
+        return (int(self.wav_bank.shape[0])
+                // fg_chunks_per_clip(self.desired_samples))
+
     def decode(self, file_ids: jax.Array) -> jax.Array:
         """Gather + int16->float32 decode (decode_wav scaling, 1/32768)."""
+        if self.chunked:
+            from speech_recognition_tpu.ops.pallas.augment_kernel import (
+                decode_chunked,
+            )
+            return decode_chunked(self.wav_bank, file_ids,
+                                  self.desired_samples)
         return (self.wav_bank[file_ids].astype(jnp.float32)
                 / INT16_DECODE_SCALE)
 
@@ -109,11 +142,27 @@ class DeviceDataset(struct.PyTreeNode):
         return wav, part.labels[sl]
 
 
+def _auto_chunked(desired_samples: int) -> bool:
+    """Default bank layout: chunked on TPU when lane-aligned (the fused
+    augment path wants that layout anyway — storing it directly halves
+    bank HBM), flat elsewhere (CPU tests poke rows; no fused path)."""
+    return (jax.default_backend() == "tpu"
+            and desired_samples % 128 == 0)
+
+
+def _chunk_bank_host(bank_np: np.ndarray) -> np.ndarray:
+    from speech_recognition_tpu.ops.pallas.augment_kernel import (
+        double_bank_host,
+    )
+    return double_bank_host(bank_np)
+
+
 def build_device_dataset(index: DatasetIndex,
                          settings: ModelSettings,
                          include_pseudo: bool = True,
                          device=None,
                          modes: Optional[Sequence[str]] = None,
+                         chunked: Optional[bool] = None,
                          ) -> DeviceDataset:
     """Decode every referenced file once and upload the packed bank.
 
@@ -121,6 +170,8 @@ def build_device_dataset(index: DatasetIndex,
     input_data.py:244-254) share a single bank row. ``modes`` restricts
     which partitions are staged (e.g. ``["validation"]`` for the
     streaming trainer, which keeps the training corpus on the host).
+    ``chunked=None`` picks the storage layout automatically (see
+    ``DeviceDataset`` / ``_auto_chunked``).
     """
     desired = settings.desired_samples
     if modes is None:
@@ -138,6 +189,10 @@ def build_device_dataset(index: DatasetIndex,
                 ordered_paths.append(e.file)
 
     bank_np = decode_batch_int16(ordered_paths, desired)
+    if chunked is None:
+        chunked = _auto_chunked(desired)
+    if chunked:
+        bank_np = _chunk_bank_host(bank_np)
     wav_bank = jax.device_put(bank_np, device)
 
     partitions = {}
@@ -169,6 +224,7 @@ def build_device_dataset(index: DatasetIndex,
         background=background,
         num_classes=num_classes,
         desired_samples=desired,
+        chunked=chunked,
     )
 
 
@@ -179,12 +235,18 @@ def synthetic_device_dataset(num_train: int = 64,
                              desired_samples: int = 16000,
                              num_background: int = 2,
                              background_len: int = 48000,
-                             seed: int = 0) -> DeviceDataset:
+                             seed: int = 0,
+                             chunked: Optional[bool] = None,
+                             ) -> DeviceDataset:
     """Random dataset for tests/benchmarks (no files involved)."""
     rng = np.random.default_rng(seed)
     n = num_train + num_val + num_pseudo
     bank = rng.integers(-2000, 2000, size=(n, desired_samples),
                         dtype=np.int16)
+    if chunked is None:
+        chunked = _auto_chunked(desired_samples)
+    if chunked:
+        bank = _chunk_bank_host(bank)
     parts = {}
     start = 0
     for mode, size in (("training", num_train), ("validation", num_val),
@@ -213,4 +275,5 @@ def synthetic_device_dataset(num_train: int = 64,
         background=background,
         num_classes=num_classes,
         desired_samples=desired_samples,
+        chunked=chunked,
     )

@@ -76,6 +76,42 @@ def double_bank(bank: jax.Array) -> jax.Array:
     return tiled.reshape(n * per_clip, 2, LANE)
 
 
+def double_bank_host(bank_np) -> "np.ndarray":
+    """Host (numpy) twin of :func:`double_bank` — same layout, built
+    before upload so the flat bank never has to coexist with the chunk
+    stack in HBM (the chunked form can then BE the dataset's storage,
+    see data/device_bank.py)."""
+    import numpy as np
+    n, t = bank_np.shape
+    if t % LANE:
+        raise ValueError(f"desired_samples must be a multiple of {LANE}")
+    per_clip = fg_chunks_per_clip(t)
+    total = per_clip * FG_CHUNK
+    reps = -(-total // t)
+    tiled = np.tile(bank_np, (1, reps))[:, :total]
+    return np.ascontiguousarray(tiled.reshape(n * per_clip, 2, LANE))
+
+
+def decode_chunked(bank_chunks: jax.Array, file_ids: jax.Array,
+                   t: int) -> jax.Array:
+    """Recover decoded f32 clips from the periodic chunk stack.
+
+    Row-major, the ``fg_chunks_per_clip(t)`` chunk rows of clip ``f``
+    are the clip tiled periodically — so its first ``t`` samples are
+    the original clip exactly. One row gather + reshape + slice; used
+    by eval/BN-recalibration paths when the chunk stack is the bank's
+    only storage (~2x the bytes of a flat gather, negligible off the
+    train hot path).
+    """
+    per_clip = fg_chunks_per_clip(t)
+    rows = (file_ids.astype(jnp.int32)[:, None] * per_clip
+            + jnp.arange(per_clip, dtype=jnp.int32)[None, :])
+    gathered = bank_chunks[rows]                    # [B, pc, 2, LANE]
+    flat = gathered.reshape(file_ids.shape[0], per_clip * FG_CHUNK)
+    # 1/32768 = decode_wav scaling (data.wav.INT16_DECODE_SCALE)
+    return flat[:, :t].astype(jnp.float32) / 32768.0
+
+
 def chunk_background(flat: jax.Array, t: int) -> jax.Array:
     """[M] f32 -> [rows, 8, 128] chunk stack with fetch headroom."""
     m = flat.shape[0]

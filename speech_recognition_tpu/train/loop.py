@@ -70,10 +70,11 @@ class Trainer:
     # HBM-resident corpus (the primary path). None = streaming mode:
     # batches come from a HostPrefetchLoader via ``fit_streaming`` /
     # ``train_step_stream`` and only the background bank lives on
-    # device. Cutoff: the staged int16 bank costs 32 KB/clip (64 KB
-    # with the doubled decode bank), so ~115k clips/GB — a corpus
-    # beyond a few hundred thousand clips per 16 GB v5e chip (after
-    # model/activation memory) should stream.
+    # device. Cutoff: the staged int16 bank costs ~65 KB/clip in the
+    # chunked layout (32 KB flat + a second doubled copy when the
+    # fused path chunks a flat bank on device), so ~15k clips/GB — a
+    # corpus beyond ~150k clips per 16 GB v5e chip (after model/
+    # activation memory) should stream.
     dataset: Optional[DeviceDataset] = None
     # Background-noise bank for streaming mode (with a dataset, the
     # dataset's own bank is used).
@@ -128,7 +129,14 @@ class Trainer:
                 chunk_background, double_bank,
             )
             t = self.settings.desired_samples
-            self._bank_chunks = jax.jit(double_bank)(self.dataset.wav_bank)
+            if self.dataset.chunked:
+                # the bank is ALREADY stored in the doubled-chunk layout
+                # (built on the host) — no second HBM copy, no on-device
+                # doubling transient
+                self._bank_chunks = self.dataset.wav_bank
+            else:
+                self._bank_chunks = jax.jit(double_bank)(
+                    self.dataset.wav_bank)
             bg = self.dataset.background
             flat = (bg.flat if bg is not None
                     else jnp.zeros((t,), jnp.float32))
