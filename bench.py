@@ -6,8 +6,9 @@ batch 384, raw representation, full on-device augmentation incl.
 background mixing). Baseline: ~450 clips/s on the reference's K80.
 
 Realism (VERDICT round-1 item 5): the synthetic bank matches the real
-corpus — 64,727 clips x 16000 samples int16 (~2 GB, ~4 GB with the
-doubled decode bank) and 6x60 s background clips — so HBM pressure and
+corpus — 64,727 clips x 16000 samples int16 (~4.9 GB in the doubled
+chunked layout, which on TPU is the bank's ONLY storage — see
+data/device_bank.py) and 6x60 s background clips — so HBM pressure and
 gather locality are representative of a real Speech Commands run. The
 one JSON line is the contract; supporting diagnostics (ms/step, MFU
 estimate from XLA's compiled FLOP count) go to stderr.
