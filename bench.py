@@ -156,22 +156,32 @@ def _scale_subprocess(trace):
     return False
 
 
-def _preflight():
-    """Fail FAST if the TPU service is unreachable (backend discovery
-    can hang indefinitely on a dead tunnel; better a clear error in
-    minutes than five silent child timeouts)."""
+def _preflight(attempts: int = 3, probe_timeout: int = 300,
+               retry_sleep: int = 120):
+    """Fail with a clear error if the TPU service is unreachable
+    (backend discovery hangs indefinitely on a dead tunnel; better a
+    clear error than five silent child timeouts). Retries across
+    ~15 min so a transient tunnel blip doesn't kill a driver run."""
     import subprocess
+    import time as _t
     code = "import jax; print('DEVOK', len(jax.devices()))"
-    try:
-        proc = subprocess.run([sys.executable, "-c", code],
-                              capture_output=True, text=True, timeout=300)
-        if "DEVOK" in proc.stdout:
-            return
-    except subprocess.TimeoutExpired:
-        raise SystemExit("TPU backend unreachable (device discovery "
-                         "hung >300 s) — cannot benchmark")
-    raise SystemExit(f"TPU backend failed to initialize: "
-                     f"{proc.stderr[-500:]}")
+    last = ""
+    for attempt in range(attempts):
+        if attempt:
+            _t.sleep(retry_sleep)
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, text=True, timeout=probe_timeout)
+            if "DEVOK" in proc.stdout:
+                return
+            last = proc.stderr[-500:]
+        except subprocess.TimeoutExpired:
+            last = f"device discovery hung >{probe_timeout} s"
+        print(f"preflight attempt {attempt + 1}/{attempts} failed: "
+              f"{last}", file=sys.stderr)
+    raise SystemExit(f"TPU backend unreachable after {attempts} "
+                     f"attempts — cannot benchmark ({last})")
 
 
 def main():
