@@ -189,7 +189,7 @@ def draw_augment_params(key: jax.Array, is_silence: jax.Array,
     return shift, fg_vol, bg_pos, bg_vol
 
 
-def rolled_decode_augment(bank2_flat: jax.Array,
+def rolled_decode_augment(bank2: jax.Array,
                           background: Optional[BackgroundBank],
                           file_ids: jax.Array, shifts: jax.Array,
                           fg_vol: jax.Array, bg_pos: jax.Array,
@@ -198,26 +198,40 @@ def rolled_decode_augment(bank2_flat: jax.Array,
     """Gather + int16 decode + circular roll + background mix, TPU-fast.
 
     Key insight: with the clip bank stored periodically tiled along time
-    (ops/pallas/augment_kernel.double_bank, flattened view),
-    ``roll(bank[f], s)`` is the contiguous window at
-    ``f*stride + ((-s) mod T)`` — one vmapped dynamic_slice (a gather of
-    contiguous slices, which TPU executes as DMAs) instead of the
-    elementwise modular gather XLA otherwise linearizes into a ~60 ms
-    kernel at batch 384. (On TPU the Pallas kernel
-    ``fused_decode_augment_flat`` goes further and fuses the whole path.)
+    (ops/pallas/augment_kernel.double_bank layout, any shape
+    reshapeable to ``[rows, FG_CHUNK]``), ``roll(bank[f], s)`` is the
+    contiguous window at ``f*stride + ((-s) mod T)`` — one vmapped
+    dynamic_slice (a gather of contiguous slices, which TPU executes as
+    DMAs) instead of the elementwise modular gather XLA otherwise
+    linearizes into a ~60 ms kernel at batch 384. (On TPU the Pallas
+    kernel ``fused_decode_augment_flat`` goes further and fuses the
+    whole path.)
+
+    Addressing happens at chunk-row granularity (row index + <256
+    in-window offset, like the Pallas kernel): a flat sample index
+    ``file_ids * stride`` would exceed int32 beyond ~66k clips at
+    T=16000 (the full Speech Commands corpus is 75.6k) and silently
+    wrap; row indices stay far inside int32 at any realistic scale.
     """
     from speech_recognition_tpu.ops.pallas.augment_kernel import (
-        FG_CHUNK, fg_chunks_per_clip,
+        FG_CHUNK, fg_chunks_per_clip, fg_fetch_chunks,
     )
     t = num_samples
-    stride = fg_chunks_per_clip(t) * FG_CHUNK
+    per_clip = fg_chunks_per_clip(t)
+    fetch = fg_fetch_chunks(t)
+    rows2d = bank2.reshape(-1, FG_CHUNK)
     starts = ((-shifts) % t).astype(jnp.int32)
-    pos = file_ids.astype(jnp.int32) * stride + starts
+    # row0 + fetch <= (f+1)*per_clip by the double_bank invariant
+    # (max row offset (t-1)//FG_CHUNK plus fetch fits inside a clip's
+    # chunk rows — same window arithmetic as the Pallas kernel)
+    row0 = file_ids.astype(jnp.int32) * per_clip + starts // FG_CHUNK
+    rem = starts % FG_CHUNK
 
-    def slice_one(p):
-        return jax.lax.dynamic_slice(bank2_flat, (p,), (t,))
+    def slice_one(r0, rm):
+        win = jax.lax.dynamic_slice(rows2d, (r0, 0), (fetch, FG_CHUNK))
+        return jax.lax.dynamic_slice(win.reshape(-1), (rm,), (t,))
 
-    rows = jax.vmap(slice_one)(pos)
+    rows = jax.vmap(slice_one)(row0, rem)
     out = rows.astype(jnp.float32) * (fg_vol / 32768.0)[:, None]
     if background is not None:
         flat = background.flat

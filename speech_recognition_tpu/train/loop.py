@@ -277,7 +277,7 @@ class Trainer:
                         bg_pos, bg_vol, num_samples=t)
             else:
                 wav = rolled_decode_augment(
-                    bank_chunks.reshape(-1), ds.background, fids, shift,
+                    bank_chunks, ds.background, fids, shift,
                     fg_vol, bg_pos, bg_vol, num_samples=t)
         else:
             wav = ds.decode(fids)
