@@ -42,7 +42,7 @@ def _parse_riff(data: bytes) -> Tuple[np.ndarray, int, int]:
         (chunk_size,) = struct.unpack_from("<I", data, pos + 4)
         body = pos + 8
         if chunk_id == b"fmt ":
-            if chunk_size < 16:
+            if chunk_size < 16 or body + 16 > n:
                 raise ValueError("malformed fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", data, body)
         elif chunk_id == b"data":
@@ -196,6 +196,18 @@ def decode_batch_int16(paths: Sequence[str], desired_samples: int,
             lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             num_threads)
         if rc == 0:
+            # the native decoder marks per-file failures with -1 and
+            # zeroes the row; retry those through the numpy decoder so
+            # a corrupt file raises a descriptive error instead of
+            # silently training on silence
+            for i in np.nonzero(lengths < 0)[0]:
+                with open(paths[i], "rb") as f:
+                    try:
+                        out[i] = decode_wav_to_int16(f.read(),
+                                                     desired_samples)
+                    except ValueError as e:
+                        raise ValueError(
+                            f"cannot decode {paths[i]}: {e}") from e
             return out
         # fall through to numpy on any native failure
     for i, p in enumerate(paths):

@@ -41,12 +41,16 @@ def test_native_matches_numpy(tmp_path):
 
 
 @pytest.mark.skipif(not _ensure_built(), reason="native build unavailable")
-def test_native_bad_file_zero_row(tmp_path):
+def test_native_bad_file_raises_with_filename(tmp_path):
+    """A corrupt file in a native batch raises a descriptive ValueError
+    (the native decoder marks it -1; the numpy retry names the file) —
+    never a silent zero row (tests/test_wav_robustness.py has the full
+    malformed-input matrix)."""
     good = str(tmp_path / "good.wav")
     wavmod.save_wav_file(good, np.full(10, 0.5), 16000)
     bad = str(tmp_path / "bad.wav")
     with open(bad, "wb") as f:
         f.write(b"not a wav at all")
-    out = wavmod.decode_batch_int16([bad, good], 100)
-    assert (out[0] == 0).all()
-    assert out[1, 0] != 0
+    import pytest
+    with pytest.raises(ValueError, match="bad.wav"):
+        wavmod.decode_batch_int16([bad, good], 100)
