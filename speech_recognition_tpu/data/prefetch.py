@@ -27,6 +27,9 @@ from speech_recognition_tpu.data.wav import (
     INT16_DECODE_SCALE, decode_batch_int16,
 )
 
+# queue sentinel marking a dead producer (see _produce/__next__)
+_PRODUCER_FAILED = object()
+
 
 class HostPrefetchLoader:
     """Random-batch streaming loader with double-buffered device upload."""
@@ -49,6 +52,7 @@ class HostPrefetchLoader:
         self._queue: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        self._error: Optional[BaseException] = None
 
     def _put(self, arr: np.ndarray):
         if self.sharding is not None and jax.process_count() > 1:
@@ -58,22 +62,32 @@ class HostPrefetchLoader:
         return jax.device_put(arr, self.sharding or self.device)
 
     def _produce(self):
-        while not self._stop.is_set():
-            idx = self._rng.integers(0, len(self.paths), self.batch_size)
-            wav_i16 = decode_batch_int16(
-                [self.paths[i] for i in idx], self.desired_samples)
-            wav = wav_i16.astype(np.float32) / INT16_DECODE_SCALE
-            batch = (
-                self._put(wav),
-                self._put(self.labels[idx]),
-                self._put(self.is_silence[idx]),
-            )
+        try:
             while not self._stop.is_set():
-                try:
-                    self._queue.put(batch, timeout=0.5)
-                    break
-                except queue.Full:
-                    continue
+                idx = self._rng.integers(0, len(self.paths),
+                                         self.batch_size)
+                wav_i16 = decode_batch_int16(
+                    [self.paths[i] for i in idx], self.desired_samples)
+                wav = wav_i16.astype(np.float32) / INT16_DECODE_SCALE
+                batch = (
+                    self._put(wav),
+                    self._put(self.labels[idx]),
+                    self._put(self.is_silence[idx]),
+                )
+                self._enqueue(batch)
+        except BaseException as e:  # noqa: BLE001 — relayed to consumer
+            # a dead producer must not leave __next__ blocking forever:
+            # record the error and wake the consumer with a sentinel
+            self._error = e
+            self._enqueue(_PRODUCER_FAILED)
+
+    def _enqueue(self, item) -> None:
+        while not self._stop.is_set():
+            try:
+                self._queue.put(item, timeout=0.5)
+                return
+            except queue.Full:
+                continue
 
     def __enter__(self):
         self._thread = threading.Thread(target=self._produce, daemon=True)
@@ -100,4 +114,8 @@ class HostPrefetchLoader:
     def __next__(self):
         if self._thread is None:
             raise RuntimeError("use as a context manager")
-        return self._queue.get()
+        item = self._queue.get()
+        if item is _PRODUCER_FAILED:
+            raise RuntimeError(
+                "prefetch producer thread failed") from self._error
+        return item

@@ -24,3 +24,22 @@ def test_prefetch_loader_yields_batches(tmp_path):
             assert np.isfinite(w).all()
             assert (np.abs(w[:, :100]) > 0).any()
             assert (w[:, 100:] == 0).all()
+
+
+def test_prefetch_producer_error_propagates(tmp_path):
+    """A corrupt file (or any producer failure) must surface in
+    __next__ as an error naming the cause — never a silent hang."""
+    import pytest
+    good = str(tmp_path / "good.wav")
+    save_wav_file(good, np.full(100, 0.5, np.float32), 16000)
+    bad = str(tmp_path / "bad.wav")
+    with open(bad, "wb") as f:
+        f.write(b"not a wav")
+    labels = np.zeros(2, np.int32)
+    with HostPrefetchLoader([bad, good], labels, labels == 1,
+                            batch_size=4, desired_samples=200,
+                            seed=0) as loader:
+        with pytest.raises(RuntimeError, match="producer"):
+            # a few pulls: the first batches may predate the bad draw
+            for _ in range(50):
+                next(loader)
