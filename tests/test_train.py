@@ -252,3 +252,34 @@ def test_checkpoint_roundtrip(tmp_path):
     a = jax.tree_util.tree_leaves(state.params)[0]
     b = jax.tree_util.tree_leaves(restored.params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_resume_is_bit_exact(tmp_path):
+    """The checkpoint module claims bit-exact resume: training K steps
+    from a restored checkpoint must equal training K steps from the
+    live state, over the FULL tree (params, BN stats, opt state) and
+    the metrics — same keys in, same bits out."""
+    from speech_recognition_tpu.train.checkpoint import (
+        restore_checkpoint, save_checkpoint)
+    trainer = _tiny_trainer()
+    state = trainer.init_state()
+    state, _ = trainer.train_step(state, jax.random.PRNGKey(11))
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state)
+    restored = restore_checkpoint(path, trainer.init_state())
+
+    keys = [jax.random.PRNGKey(100 + i) for i in range(3)]
+    for k in keys:
+        state, m_live = trainer.train_step(state, k)
+        restored, m_rest = trainer.train_step(restored, k)
+    assert {k: float(v) for k, v in m_live.items()} == \
+        {k: float(v) for k, v in m_rest.items()}
+    live = jax.tree_util.tree_leaves(
+        {"p": state.params, "s": state.batch_stats,
+         "o": state.opt_state})
+    rest = jax.tree_util.tree_leaves(
+        {"p": restored.params, "s": restored.batch_stats,
+         "o": restored.opt_state})
+    assert len(live) == len(rest)
+    for a, b in zip(live, rest):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
