@@ -45,6 +45,9 @@ def main():
                    help="chained steps per XLA execution (amortizes "
                         "per-dispatch transport cost; see "
                         "export/benchmark.py)")
+    p.add_argument("--trace", action="store_true",
+                   help="also record traced device-busy ms/step per "
+                        "model (jax.profiler; adds a short traced run)")
     args = p.parse_args()
 
     import jax
@@ -91,6 +94,14 @@ def main():
                "ms_per_step": round(r["ms_per_step"], 3),
                "clips_per_sec": round(r["clips_per_sec"], 1),
                "vs_k80_450": round(r["clips_per_sec"] / 450.0, 1)}
+        if args.trace:
+            from speech_recognition_tpu.export.benchmark import (
+                traced_train_device_time,
+            )
+            state, tr = traced_train_device_time(trainer, state, steps=10)
+            if tr:
+                row["traced_device_ms_per_step"] = round(
+                    tr["device_ms_per_step"], 4)
         rows.append(row)
         print(json.dumps(row), flush=True)
         del trainer, state
