@@ -61,6 +61,15 @@ def _parse_riff(data: bytes) -> Tuple[np.ndarray, int, int]:
     return samples, sample_rate, max(num_channels, 1)
 
 
+def _channel0(samples: np.ndarray, num_channels: int) -> np.ndarray:
+    """Channel 0 of interleaved samples, COMPLETE frames only — a
+    trailing partial frame is dropped (decode_wav counts frames as
+    data_bytes // (channels*2); the native decoder agrees; a bare
+    ``[::nch]`` would keep the partial frame's first sample)."""
+    frames = samples.shape[0] // num_channels
+    return samples[: frames * num_channels : num_channels]
+
+
 def decode_wav_bytes(data: bytes,
                      desired_channels: int = 1,
                      desired_samples: Optional[int] = None,
@@ -78,7 +87,7 @@ def decode_wav_bytes(data: bytes,
     if desired_channels != 1:
         raise NotImplementedError("only mono decoding is supported")
     if num_channels > 1:
-        samples = samples[::num_channels]
+        samples = _channel0(samples, num_channels)
     audio = samples.astype(np.float32) / np.float32(scale)
     if desired_samples is not None:
         if audio.shape[0] >= desired_samples:
@@ -93,7 +102,7 @@ def decode_wav_to_int16(data: bytes,
     """Decode WAV bytes to raw int16 (pad/crop), for packed HBM banks."""
     samples, _, num_channels = _parse_riff(data)
     if num_channels > 1:
-        samples = samples[::num_channels]
+        samples = _channel0(samples, num_channels)
     if desired_samples is not None:
         if samples.shape[0] >= desired_samples:
             samples = samples[:desired_samples]
@@ -223,6 +232,6 @@ def decode_files_variable(paths: Sequence[str]) -> List[np.ndarray]:
         with open(p, "rb") as f:
             samples, _, num_channels = _parse_riff(f.read())
         if num_channels > 1:
-            samples = samples[::num_channels]
+            samples = _channel0(samples, num_channels)
         result.append(np.asarray(samples, dtype=np.int16))
     return result

@@ -99,3 +99,24 @@ def test_batch_decode_native_and_numpy_agree(tmp_path):
         with open(p, "rb") as f:
             want = decode_wav_to_int16(f.read(), 64)
         np.testing.assert_array_equal(native[i], want, err_msg=p)
+
+
+def test_partial_trailing_frame_truncated(tmp_path):
+    """Multichannel data whose byte count is not a multiple of the
+    frame size: decode_wav counts complete frames only — both decoders
+    must drop the trailing partial frame (fuzzing found the numpy
+    parser keeping its first sample)."""
+    from speech_recognition_tpu.data.wav import decode_wav_to_int16
+    # 7 int16 values as "stereo" = 3 complete frames + 1 orphan sample
+    pcm = np.arange(1, 8, dtype="<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 16000,
+                                16000 * 4, 4, 16)
+    data = hdr + fmt + b"data" + struct.pack("<I", len(pcm)) + pcm
+    got = decode_wav_to_int16(data, 5)
+    np.testing.assert_array_equal(got, np.array([1, 3, 5, 0, 0],
+                                                np.int16))
+    p = tmp_path / "partial.wav"
+    p.write_bytes(data)
+    native = decode_batch_int16([str(p)], desired_samples=5)[0]
+    np.testing.assert_array_equal(native, got)
