@@ -136,3 +136,21 @@ def test_decode_scaling():
     wav = np.asarray(ds.decode(jnp.array([0, 1], dtype=jnp.int32)))
     bank = np.asarray(ds.wav_bank[:2]).astype(np.float32) / 32768.0
     np.testing.assert_allclose(wav, bank)
+
+
+def test_center_crop_matches_reference_semantics():
+    """center_crop (utils.py:76-84): integer-floor left edge, 1-D and
+    2-D, exact passthrough at equal size."""
+    from speech_recognition_tpu.ops.framing import center_crop
+    x = np.arange(10, dtype=np.float32)
+    np.testing.assert_array_equal(np.asarray(center_crop(x, 4)),
+                                  x[3:7])          # (10-4)//2 == 3
+    np.testing.assert_array_equal(np.asarray(center_crop(x, 5)),
+                                  x[2:7])          # odd remainder floors
+    np.testing.assert_array_equal(np.asarray(center_crop(x, 10)), x)
+    x2 = np.arange(20, dtype=np.float32).reshape(2, 10)
+    np.testing.assert_array_equal(np.asarray(center_crop(x2, 4)),
+                                  x2[:, 3:7])
+    import pytest
+    with pytest.raises(ValueError):
+        center_crop(np.zeros((2, 3, 4)), 2)
