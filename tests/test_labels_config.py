@@ -86,3 +86,21 @@ def test_eval_augment_variant_zeroes_everything():
     assert ev.pseudo_frequency == 0.0
     assert ev.silence_volume_range == 0.0
     assert ev.silence_background_frequency == 0.0
+
+
+def test_legacy_settings_match_reference_dict():
+    """get_legacy_settings == the reference's frozen settings.py:1-11
+    dict, field for field (executed from the reference source; skipped
+    where the reference checkout is absent)."""
+    import os
+    import pytest
+    if not os.path.exists("/root/reference/settings.py"):
+        pytest.skip("reference checkout not available")
+    src = open("/root/reference/settings.py").read()
+    ns = {}
+    exec(src, ns)
+    ref = ns["get_settings"]()
+    from speech_recognition_tpu.config import get_legacy_settings
+    ours = get_legacy_settings()
+    for k, v in ref.items():
+        assert getattr(ours, k) == v, k
