@@ -1,0 +1,143 @@
+"""Differential tests executing the REFERENCE's own code side by side.
+
+The strongest parity pin available: extract the reference's pure-Python
+data-layer functions (which_set, prepare_data_index,
+prepare_model_settings, settings.py) from /root/reference, execute them
+verbatim, and compare against this framework on the same inputs. All
+tests skip where the reference checkout is absent.
+
+The reference enumerates files in filesystem glob order; this framework
+sorts for cross-machine reproducibility, so the reference is run with a
+sorted Glob — under that fixed order the index builder matches the
+reference EXACTLY, contents and order (the seeded shuffles replay).
+"""
+
+import glob
+import hashlib
+import math
+import os
+import random
+import re
+
+import pytest
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout not available")
+
+
+class _Compat:
+    """Stand-in for tensorflow.python.util.compat (as_bytes only)."""
+
+    @staticmethod
+    def as_bytes(s):
+        return s.encode("utf-8") if isinstance(s, str) else s
+
+
+def _ref_namespace():
+    ns = {
+        "os": os, "re": re, "math": math, "random": random,
+        "hashlib": hashlib, "compat": _Compat,
+        "MAX_NUM_WAVS_PER_CLASS": 2 ** 27 - 1,
+        "RANDOM_SEED": 59185,
+        "BACKGROUND_NOISE_DIR_NAME": "_background_noise_",
+        "SILENCE_LABEL": "_silence_", "SILENCE_INDEX": 0,
+        "UNKNOWN_WORD_INDEX": 1,
+        "prepare_words_list": lambda w: ["_silence_", "_unknown_"] + w,
+    }
+
+    class _Gfile:  # sorted order — see module docstring
+        @staticmethod
+        def Glob(pattern):
+            return sorted(glob.glob(pattern))
+
+    ns["gfile"] = _Gfile
+    src = open(os.path.join(REF, "input_data.py")).read()
+    s = src.index("def which_set(")
+    exec(src[s:src.index("\ndef ", s + 5)], ns)
+    s = src.index("  def prepare_data_index(")
+    method = src[s:src.index("\n  def ", s + 5)]
+    exec("\n".join(l[2:] if l.startswith("  ") else l
+                   for l in method.splitlines()), ns)
+    return ns
+
+
+def test_which_set_differential():
+    ns = _ref_namespace()
+    ref = ns["which_set"]
+    from speech_recognition_tpu.data.index import which_set as ours
+    rng = random.Random(7)
+    words = ["yes", "no", "unknown_unknown", "zero"]
+    for i in range(3000):
+        stem = "".join(rng.choice("abcdef0123456789") for _ in range(8))
+        style = i % 4
+        fname = [f"{stem}_nohash_{i % 10}.wav", f"{stem}.wav",
+                 f"{stem}_nohash_1_extra_nohash_2.wav",
+                 f"{stem}_NOHASH_3.wav"][style]
+        path = f"data/train/audio/{rng.choice(words)}/{fname}"
+        vp = rng.choice([0.0, 10.0, 15.0, 50.0])
+        tp = rng.choice([0.0, 10.0, 30.0])
+        assert ours(path, vp, tp) == ref(path, vp, tp), path
+
+
+def test_prepare_data_index_exact_parity(tmp_path):
+    """Contents AND order of every partition match the reference's
+    executed prepare_data_index (seed-59185 shuffles replay exactly)."""
+    audio = tmp_path / "train" / "audio"
+    rng = random.Random(123)
+    wanted = ["yes", "no", "stop"]
+    for word in wanted + ["cat", "tree", "unknown_unknown"]:
+        d = audio / word
+        d.mkdir(parents=True)
+        for i in range(40):
+            stem = "".join(rng.choice("0123456789abcdef")
+                           for _ in range(8))
+            name = (f"{stem}.wav" if i % 7 == 3
+                    else f"{stem}_nohash_{i % 3}.wav")
+            (d / name).write_bytes(b"x")
+    (audio / "_background_noise_").mkdir()
+    (audio / "_background_noise_" / "white.wav").write_bytes(b"x")
+
+    ns = _ref_namespace()
+
+    class Shim:
+        pass
+
+    shim = Shim()
+    shim.data_dirs = [str(audio)]
+    ns["prepare_data_index"].__get__(shim)(13.0, 60.0, wanted, 10.0, 10.0)
+
+    from speech_recognition_tpu.data.index import build_dataset_index
+    ours = build_dataset_index(
+        data_dirs=[str(audio)], silence_percentage=13.0,
+        unknown_percentage=60.0, wanted_words=wanted,
+        validation_percentage=10.0, testing_percentage=10.0)
+
+    for part in ("validation", "testing", "training", "pseudo"):
+        ref_entries = [(e["label"], e["file"])
+                       for e in shim.data_index[part]]
+        our_entries = [(e.label, e.file)
+                       for e in ours.data_index[part]]
+        assert ref_entries == our_entries, part
+    assert shim.word_to_index == ours.word_to_index
+
+
+def test_prepare_model_settings_grid():
+    src = open(os.path.join(REF, "model.py")).read()
+    ns = {}
+    exec(src[src.index("def prepare_model_settings("):], ns)
+    ref = ns["prepare_model_settings"]
+    from speech_recognition_tpu.config import prepare_model_settings
+    for label_count in (4, 12, 32, 49):
+        for wsm in (20.0, 30.0, 40.0):
+            for dur in (1000, 750):
+                r = ref(label_count, 16000, dur, wsm, 10.0, 80, 60)
+                o = prepare_model_settings(
+                    label_count=label_count, sample_rate=16000,
+                    clip_duration_ms=dur, window_size_ms=wsm,
+                    window_stride_ms=10.0, dct_coefficient_count=80,
+                    num_log_mel_features=60,
+                    output_representation="raw")
+                for k, v in r.items():
+                    assert getattr(o, k) == v, (k, label_count, wsm, dur)
