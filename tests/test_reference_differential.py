@@ -141,3 +141,43 @@ def test_prepare_model_settings_grid():
                     output_representation="raw")
                 for k, v in r.items():
                     assert getattr(o, k) == v, (k, label_count, wsm, dur)
+
+
+def test_smooth_loss_differential():
+    """Our from-logits smoothed CE vs the reference's executed
+    probs->clip(1e-7)->log->tf.losses.softmax_cross_entropy path
+    (utils.py:87-108). Mathematically identical (softmax is
+    shift-invariant, log_softmax(log p) == log p); measured agreement
+    <5e-5 whenever no probability underflows the reference's 1e-7
+    clip. Where probabilities DO underflow, the reference's clip
+    distorts its own loss (deltas up to ~1e-3 at logit scale 3) while
+    the from-logits form matches the float64 ground truth — the
+    documented divergence favors this implementation."""
+    tf = pytest.importorskip("tensorflow")
+    tfv1 = tf.compat.v1
+    import numpy as np
+    from speech_recognition_tpu.train.optim import smooth_cross_entropy
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    with tfv1.Graph().as_default():
+        t_ph = tfv1.placeholder(tf.float32, (16, 12))
+        l_ph = tfv1.placeholder(tf.float32, (16, 12))
+        losses = {sm: tfv1.losses.softmax_cross_entropy(
+            t_ph, l_ph, label_smoothing=sm) for sm in (0.0, 0.1)}
+        with tfv1.Session() as sess:
+            for _ in range(5):
+                # scale 1.5 keeps min prob ~e^-9 >> 1e-7: no clipping
+                logits = rng.standard_normal((16, 12)).astype(
+                    np.float32) * 1.5
+                probs = np.exp(logits - logits.max(1, keepdims=True))
+                probs /= probs.sum(1, keepdims=True)
+                y = rng.integers(0, 12, 16)
+                onehot = np.eye(12, dtype=np.float32)[y]
+                lg = np.log(np.clip(probs, 1e-7, 1 - 1e-7))
+                for sm in (0.0, 0.1):
+                    ref = float(sess.run(losses[sm],
+                                         {t_ph: onehot, l_ph: lg}))
+                    ours = float(smooth_cross_entropy(
+                        jnp.asarray(logits), jnp.asarray(y), sm))
+                    assert abs(ref - ours) < 5e-5, (sm, ref, ours)
