@@ -181,3 +181,28 @@ def test_smooth_loss_differential():
                     ours = float(smooth_cross_entropy(
                         jnp.asarray(logits), jnp.asarray(y), sm))
                     assert abs(ref - ours) < 5e-5, (sm, ref, ours)
+
+
+def test_class_catalogs_differential():
+    """labels.py vs the reference's executed classes.py across all
+    (wanted_only, extend_reversed) combinations: class lists,
+    int->label, and label->int maps."""
+    from collections import OrderedDict
+    src = open(os.path.join(REF, "classes.py")).read()
+    ns = {"OrderedDict": OrderedDict,
+          "prepare_words_list": lambda w: ["_silence_", "_unknown_"] + w}
+    exec(src[src.index("def get_classes("):], ns)
+    from speech_recognition_tpu import labels as L
+    for kw in (dict(wanted_only=False, extend_reversed=False),
+               dict(wanted_only=False, extend_reversed=True),
+               dict(wanted_only=True, extend_reversed=False)):
+        assert L.get_classes(**kw) == ns["get_classes"](**kw), kw
+        assert L.get_int2label(**kw) == \
+            dict(ns["get_int2label"](**kw)), kw
+        assert L.get_label2int(**kw) == \
+            dict(ns["get_label2int"](**kw)), kw
+    # documented strictness divergence: the reference silently ignores
+    # extend_reversed when wanted_only=True; this framework rejects the
+    # meaningless combination
+    with pytest.raises(ValueError):
+        L.get_classes(wanted_only=True, extend_reversed=True)
