@@ -206,3 +206,27 @@ def test_class_catalogs_differential():
     # meaningless combination
     with pytest.raises(ValueError):
         L.get_classes(wanted_only=True, extend_reversed=True)
+
+
+def test_log_loss_differential():
+    """metrics.log_loss_from_logits vs the reference's executed numpy
+    log_loss (callbacks.py:6-10) fed softmax(logits)."""
+    import numpy as np
+    import jax.numpy as jnp
+    src = open(os.path.join(REF, "callbacks.py")).read()
+    s = src.index("def log_loss(")
+    ns = {"np": np}
+    exec(src[s:src.index("\nclass", s)], ns)
+    ref = ns["log_loss"]
+    from speech_recognition_tpu.train.metrics import log_loss_from_logits
+    rng = np.random.default_rng(1)
+    for _ in range(10):
+        logits = rng.standard_normal((32, 12)).astype(np.float32) * 2
+        probs = np.exp(logits - logits.max(1, keepdims=True))
+        probs /= probs.sum(1, keepdims=True)
+        y = rng.integers(0, 12, 32)
+        onehot = np.eye(12, dtype=np.float32)[y]
+        r = float(ref(onehot, probs))
+        o = float(log_loss_from_logits(jnp.asarray(logits),
+                                       jnp.asarray(y)))
+        assert abs(r - o) < 5e-6, (r, o)
