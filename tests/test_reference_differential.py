@@ -230,3 +230,22 @@ def test_log_loss_differential():
         o = float(log_loss_from_logits(jnp.asarray(logits),
                                        jnp.asarray(y)))
         assert abs(r - o) < 5e-6, (r, o)
+
+
+def test_label_mappers_differential():
+    """map_to_valid / map_to_wanted vs the reference's executed
+    list-level mappers (make_submission.py:16-31)."""
+    src = open(os.path.join(REF, "make_submission.py")).read()
+    s = src.index("def map_to_valid(")
+    e = src.index("\nif ", s)  # both mappers precede the __main__ block
+    ns = {}
+    exec(src[s:e], ns)
+    from speech_recognition_tpu.labels import map_to_valid, map_to_wanted
+    wanted = ["stop", "down", "off", "right", "up",
+              "go", "on", "yes", "left", "no"]
+    labels = (["_silence_", "_unknown_", "cat", "tree", "silence"]
+              + wanted)
+    ref_valid = ns["map_to_valid"](labels)
+    assert [map_to_valid(l) for l in labels] == ref_valid
+    assert [map_to_wanted(l, wanted) for l in ref_valid] == \
+        ns["map_to_wanted"](ref_valid, wanted)
