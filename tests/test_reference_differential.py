@@ -249,3 +249,43 @@ def test_label_mappers_differential():
     assert [map_to_valid(l) for l in labels] == ref_valid
     assert [map_to_wanted(l, wanted) for l in ref_valid] == \
         ns["map_to_wanted"](ref_valid, wanted)
+
+
+def test_map_32_to_12_differential():
+    """export.aot.map_32_to_12_probs vs the reference's executed
+    mapping-head fragment (freeze_graph_32_classes.py:55-69: silence
+    kept, unknown = MAX over the 22 unknown-class probs, wanted words
+    in catalog order, re-softmax) on random probability vectors."""
+    tf = pytest.importorskip("tensorflow")
+    tfv1 = tf.compat.v1
+    import numpy as np
+    import jax.numpy as jnp
+    from collections import OrderedDict
+
+    csrc = open(os.path.join(REF, "classes.py")).read()
+    cns = {"OrderedDict": OrderedDict,
+           "prepare_words_list": lambda w: ["_silence_", "_unknown_"] + w}
+    exec(csrc[csrc.index("def get_classes("):], cns)
+    wanted_classes = cns["get_classes"](wanted_only=True)
+    all_classes = cns["get_classes"](wanted_only=False)
+
+    src = open(os.path.join(REF, "freeze_graph_32_classes.py")).read()
+    frag = src[src.index("mapped_classes, unknown_classes = [], []"):
+               src.index("frozen_graph_def")]
+
+    from speech_recognition_tpu.export.aot import map_32_to_12_probs
+    rng = np.random.default_rng(3)
+    with tfv1.Graph().as_default():
+        probs_ph = tfv1.placeholder(tf.float32, (32,))
+        ns = {"tf": tf, "all_probs": probs_ph,
+              "all_classes": all_classes,
+              "wanted_classes": wanted_classes,
+              "FINAL_TENSOR_NAME": "labels_softmax"}
+        exec(frag, ns)
+        with tfv1.Session() as sess:
+            for _ in range(8):
+                p = rng.dirichlet(np.ones(32)).astype(np.float32)
+                ref = sess.run(ns["mapped_probs"], {probs_ph: p})
+                ours = np.asarray(map_32_to_12_probs(jnp.asarray(p)))
+                np.testing.assert_allclose(ours, ref, rtol=1e-5,
+                                           atol=1e-6)
