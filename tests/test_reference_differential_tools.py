@@ -291,6 +291,170 @@ def test_convert_32_to_12_full_scale_differential(tmp_path):
     assert (diff == 0).mean() > 0.999
 
 
+def test_augment_draw_policy_differential():
+    """Two-sample distribution check: the reference's EXECUTED per-sample
+    draw policy (input_data.py:457-514, run with a recording fake sess
+    and seeded np.random) vs ops/augment.py's vectorized jax draws.
+
+    This is stronger than the spec-based distribution tests in
+    test_augment.py: a misreading of the reference's policy (gate
+    ordering, the silence 0.9 quirk, inclusive shift bounds) would make
+    both our code and our spec-test wrong together, but cannot fool a
+    comparison against the reference's own executed draws."""
+    import jax
+    import jax.numpy as jnp
+    from speech_recognition_tpu.config import AugmentConfig
+    from speech_recognition_tpu.ops.augment import (
+        draw_augment_params, draw_volumes,
+    )
+
+    src = open(os.path.join(REF, "input_data.py")).read()
+    s = src.index("  def get_data(")
+    method = src[s:src.index("\n  def get_unprocessed_data", s)]
+    ns = {"np": np, "xrange": range, "SILENCE_LABEL": "_silence_"}
+    exec("\n".join(l[2:] if l.startswith("  ") else l
+                   for l in method.splitlines()), ns)
+
+    desired = 2000
+    records = []
+
+    class _Sess:
+        def run(self, fetch, feed_dict):
+            records.append({"shift": feed_dict["shift"],
+                            "bgv": feed_dict["bgv"],
+                            "fgv": feed_dict["fgv"],
+                            "silence": feed_dict["fn"] == "sil.wav"})
+            return np.zeros(desired)
+
+    class Shim:
+        pass
+
+    shim = Shim()
+    shim.model_settings = {"desired_samples": desired, "label_count": 12}
+    shim.output_representation = "raw"
+    n_cand, n_sil = 512, 64  # 12.5% silence
+    shim.data_index = {
+        "training": ([{"label": "_silence_", "file": "sil.wav"}] * n_sil
+                     + [{"label": "yes", "file": "word.wav"}]
+                     * (n_cand - n_sil)),
+        "pseudo": [{"label": "no", "file": "pseudo.wav"}] * 8,
+    }
+    shim.background_data = [np.zeros(6000), np.zeros(8000)]
+    shim.wav_filename_placeholder_ = "fn"
+    shim.time_shift_placeholder_ = "shift"
+    shim.background_data_placeholder_ = "bg"
+    shim.background_volume_placeholder_ = "bgv"
+    shim.foreground_volume_placeholder_ = "fgv"
+    shim.background_clamp_ = "out"
+    shim.word_to_index = {"_silence_": 0, "_unknown_": 1, "yes": 2,
+                          "no": 3}
+
+    np.random.seed(123)
+    sess = _Sess()
+    for _ in range(40):
+        ns["get_data"].__get__(shim)(
+            n_cand, 0, 0.3, 0.15, 0.3, 0.15, 0.3, [-500, 0],
+            "training", sess, pseudo_frequency=0.0, flip_frequency=0.25,
+            silence_volume_range=0.3)
+    ref_shift = np.array([r["shift"] for r in records], np.int64)
+    ref_bgv = np.array([r["bgv"] for r in records], np.float64)
+    ref_fgv = np.array([r["fgv"] for r in records], np.float64)
+    ref_sil = np.array([r["silence"] for r in records], bool)
+
+    n = len(records)
+    cfg = AugmentConfig(flip_frequency=0.25)
+    is_sil = jnp.arange(n) < int(ref_sil.sum())
+    shift, _, _, _ = draw_augment_params(
+        jax.random.PRNGKey(7), is_sil, cfg, background=None,
+        batch=n, num_samples=desired)
+    fgv, bgv = draw_volumes(jax.random.PRNGKey(8), is_sil, cfg, n,
+                            use_background=True)
+    our_shift = np.asarray(shift, np.int64)
+    our_fgv = np.asarray(fgv, np.float64)
+    our_bgv = np.asarray(bgv, np.float64)
+    our_sil = np.asarray(is_sil)
+
+    def close(a, b, tol):
+        assert abs(a - b) < tol, (a, b, tol)
+
+    # time shift: gate probability, support, conditional mean
+    close((ref_shift == 0).mean(), (our_shift == 0).mean(), 0.02)
+    for nz in (ref_shift[ref_shift != 0], our_shift[our_shift != 0]):
+        assert nz.min() >= -500 and nz.max() <= -1
+        assert nz.min() < -480 and nz.max() > -20
+    close(ref_shift[ref_shift != 0].mean(),
+          our_shift[our_shift != 0].mean(), 12.0)
+
+    # foreground volume, non-silence: P(untouched), flip rate, support
+    rf, of = ref_fgv[~ref_sil], our_fgv[~our_sil]
+    close((np.abs(rf) == 1.0).mean(), (np.abs(of) == 1.0).mean(), 0.02)
+    close((rf < 0).mean(), (of < 0).mean(), 0.02)
+    close(np.abs(rf).mean(), np.abs(of).mean(), 0.005)
+    for v in (np.abs(rf), np.abs(of)):
+        assert v.min() >= 0.85 - 1e-9 and v.max() <= 1.15 + 1e-9
+
+    # silence is always muted in the foreground
+    assert (ref_fgv[ref_sil] == 0).all() and (our_fgv[our_sil] == 0).all()
+
+    # background volume, silence rows: the 0.9 quirk produces a
+    # three-way mixture — P(zero) = (1-bf)*0.1, and only quirk draws
+    # can exceed background_volume_range
+    rs, os_ = ref_bgv[ref_sil], our_bgv[our_sil]
+    close((rs == 0).mean(), (os_ == 0).mean(), 0.03)
+    close((rs > 0.15).mean(), (os_ > 0.15).mean(), 0.03)
+    close(rs.mean(), os_.mean(), 0.01)
+    assert rs.max() <= 0.3 and os_.max() <= 0.3
+
+    # background volume, non-silence rows: Bernoulli(bf) x U(0, bvr)
+    rn, on = ref_bgv[~ref_sil], our_bgv[~our_sil]
+    close((rn == 0).mean(), (on == 0).mean(), 0.02)
+    close(rn[rn > 0].mean(), on[on > 0].mean(), 0.005)
+    assert rn.max() <= 0.15 and on.max() <= 0.15
+
+
+def test_data_gen_cycle_differential():
+    """compat.data_gen vs the reference's executed data_gen
+    (utils.py:6-53): identical get_data kwargs sequences, including the
+    non-training knob neutralization and the offset reset boundary
+    (``offset > set_size - batch_size``, utils.py:39)."""
+    from speech_recognition_tpu import compat
+
+    src = open(os.path.join(REF, "utils.py")).read()
+    s = src.index("def data_gen(")
+    ns = {}
+    exec(src[s:src.index("\ndef ", s + 5)], ns)
+    ref_data_gen = ns["data_gen"]
+
+    def make_recorder(rec):
+        class P:
+            @staticmethod
+            def get_data(**kw):
+                kw.pop("sess", None)
+                kw["time_shift_range"] = tuple(kw["time_shift_range"])
+                rec.append(dict(kw))
+                return kw["offset"], 0
+
+            @staticmethod
+            def set_size(mode):
+                return 1000
+
+        return P()
+
+    for mode in ("validation", "training"):
+        ref_rec, our_rec = [], []
+        ref_gen = ref_data_gen(make_recorder(ref_rec), sess=None,
+                               batch_size=128, mode=mode,
+                               pseudo_frequency=0.6, flip_frequency=0.1)
+        our_gen = compat.data_gen(make_recorder(our_rec), sess=None,
+                                  batch_size=128, mode=mode,
+                                  pseudo_frequency=0.6,
+                                  flip_frequency=0.1)
+        for _ in range(25):  # crosses the epoch reset three times
+            next(ref_gen)
+            next(our_gen)
+        assert our_rec == ref_rec, mode
+
+
 def test_tf_roll_differential():
     """ops/augment.py::roll_batch vs the reference's executed tf_roll
     (utils.py:56-73) — the reference's own TODO test
