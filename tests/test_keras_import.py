@@ -93,3 +93,55 @@ def test_import_mismatch_raises(tmp_path):
     ])
     with pytest.raises(ValueError):
         import_keras_hdf5(p, variables)
+
+
+def test_import_checkpoint_cli(tmp_path):
+    """scripts/import_checkpoint.py end to end: Keras hdf5 -> orbax
+    checkpoint that restores into a fresh Trainer state with the
+    imported weights."""
+    import os
+    import subprocess
+    import sys
+
+    kernel = np.linspace(-1, 1, 98 * 40 * 12,
+                         dtype=np.float32).reshape(3920, 12)
+    bias = np.arange(12, dtype=np.float32)
+    h5 = str(tmp_path / "ep-001-vl-0.5.hdf5")
+    _write_keras_style(h5, [
+        ("dense_1", [("dense_1/kernel:0", kernel),
+                     ("dense_1/bias:0", bias)]),
+    ])
+    out = str(tmp_path / "orbax_ckpt")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts",
+                                      "import_checkpoint.py"),
+         "--hdf5", h5, "--out", out, "--model", "simple",
+         "--output_representation", "mfcc", "--wanted_only",
+         "--dct_coefficient_count", "40", "--num_log_mel_features", "40"],
+        capture_output=True, text=True, cwd=repo,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "params" in proc.stdout
+
+    from speech_recognition_tpu.config import (
+        AugmentConfig, prepare_model_settings,
+    )
+    from speech_recognition_tpu.data.device_bank import (
+        synthetic_device_dataset,
+    )
+    from speech_recognition_tpu.train.checkpoint import restore_checkpoint
+    from speech_recognition_tpu.train.loop import Trainer
+
+    settings = prepare_model_settings(
+        label_count=12, window_size_ms=30.0, window_stride_ms=10.0,
+        dct_coefficient_count=40, num_log_mel_features=40,
+        output_representation="mfcc")
+    trainer = Trainer(model_name="simple", settings=settings,
+                      dataset=synthetic_device_dataset(num_classes=12),
+                      augment=AugmentConfig(), batch_size=8)
+    state = restore_checkpoint(out, trainer.init_state())
+    leaves = jax.tree_util.tree_leaves(state.params)
+    got_kernel = [l for l in leaves if l.ndim == 2][0]
+    np.testing.assert_allclose(np.asarray(got_kernel), kernel)
+    assert int(state.step) == 0
