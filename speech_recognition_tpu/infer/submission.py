@@ -3,8 +3,10 @@
 Parity with make_submission.py:34-213 and the team ensemble formats:
   * wanted-label CSV / all-label CSV / all-probability CSV
     (make_submission.py:198-212)
-  * uint8 memmap probabilities, shape (N, 12), values round(prob*255)
-    (convert_from_see_v3_bugfix.py:107-110)
+  * uint8 memmap probabilities, shape (N, 12), values prob*255
+    truncated to uint8 exactly like the reference's memmap assignment
+    (convert_from_see_v3_bugfix.py:107-110; byte-parity pinned by
+    tests/test_reference_differential_tools.py)
   * Pi-style batch-1 CSV from the AOT artifact lives in export/.
 """
 

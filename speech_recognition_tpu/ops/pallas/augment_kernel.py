@@ -16,8 +16,9 @@ Mosaic constraint handling (probed on this toolchain):
     + an iota select implement flat_window(buf, s) for any s — rotate
     requires 32-bit data, so int16 decodes to f32 first;
   * the circular foreground roll uses a periodically tiled clip bank
-    (each row = clip repeated to 126 chunks), making roll(clip, s) a
-    contiguous window at (-s) mod T.
+    (each row = clip repeated to ``fg_chunks_per_clip(T)`` chunks, 127
+    at T=16000 — ~2x the clip plus fetch slack), making roll(clip, s)
+    a contiguous window at (-s) mod T.
 
 Semantics identical to the jnp path (same ``draw_augment_params``):
 
