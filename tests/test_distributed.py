@@ -90,6 +90,45 @@ for i in range(2):
 assert int(state.step) == 2
 assert all(np.isfinite(l) for l in losses), losses
 print(f"WORKER{pid}_TRAIN loss0={losses[0]:.6f} loss1={losses[1]:.6f}")
+# --- the STREAMING data path across the 2-process cluster ------------
+# Each host holds the (identical, seed-deterministic) corpus on disk,
+# takes its process_shard of the file list, and its HostPrefetchLoader
+# assembles GLOBAL batches via make_array_from_process_local_data (the
+# loader branch only taken when process_count > 1) — then one streamed
+# DP train step runs over the global mesh. This is the multi-host
+# >HBM data story end to end: shard paths -> stream -> global batch ->
+# psum'd update.
+from jax.sharding import NamedSharding as NS, PartitionSpec as PS
+from speech_recognition_tpu.data.prefetch import HostPrefetchLoader
+from speech_recognition_tpu.data.wav import save_wav_file
+rng = np.random.default_rng(11)  # same seed -> same bytes on both hosts
+corpus = f"corpus_{pid}"
+os.makedirs(corpus, exist_ok=True)
+all_paths, all_labels = [], []
+for i in range(16):
+    path = os.path.join(corpus, f"clip_{i:02d}.wav")
+    save_wav_file(path, rng.uniform(-0.4, 0.4, 16000).astype(np.float32),
+                  16000)
+    all_paths.append(path)
+    all_labels.append(i % 12)
+my_paths = process_shard(all_paths)
+my_labels = np.asarray(process_shard(all_labels), np.int32)
+batch_sharding = NS(tmesh, PS("data"))
+stream_trainer = Trainer(model_name="simple", settings=settings,
+                         dataset=None, background=None,
+                         augment=AugmentConfig(), batch_size=8,
+                         mesh=tmesh)
+sstate = stream_trainer.init_state()
+with HostPrefetchLoader(my_paths, my_labels,
+                        my_labels == 0, batch_size=4, seed=3,
+                        sharding=batch_sharding) as loader:
+    wav, lab, sil = next(loader)
+    assert wav.shape == (8, 16000), wav.shape  # GLOBAL batch assembled
+    sstate, smetrics = stream_trainer.train_step_stream(
+        sstate, jax.random.PRNGKey(0), wav, lab, sil)
+sloss = float(smetrics["loss"])
+assert np.isfinite(sloss) and int(sstate.step) == 1
+print(f"WORKER{pid}_STREAM loss={sloss:.6f}")
 print(f"WORKER{pid}_OK")
 """
 
@@ -129,6 +168,11 @@ def test_two_process_cluster(tmp_path):
     loss_lines = [re.search(r"WORKER\d_TRAIN (.*)", o).group(1)
                   for o in outputs]
     assert loss_lines[0] == loss_lines[1], loss_lines
+    # ... and the STREAMED train step (process-sharded paths, global
+    # batches assembled from per-host loaders) agreed too
+    stream_lines = [re.search(r"WORKER\d_STREAM (.*)", o).group(1)
+                    for o in outputs]
+    assert stream_lines[0] == stream_lines[1], stream_lines
 
 
 def test_process_shard_explicit():
