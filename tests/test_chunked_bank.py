@@ -33,6 +33,20 @@ def test_host_chunker_matches_device_chunker():
             np.asarray(double_bank(jnp.asarray(bank))))
 
 
+def test_host_chunker_block_boundaries():
+    """The block-wise builder (bounded host RAM — no np.tile of the
+    whole corpus) is exact for every block/clip-count relationship:
+    block dividing n, not dividing, larger than n, and block 1."""
+    rng = np.random.default_rng(2)
+    for n, t, bc in [(5, 256, 2), (7, 1024, 3), (16, 512, 16),
+                     (9, 128, 4), (4, 16000, 1), (3, 640, 100)]:
+        bank = rng.integers(-30000, 30000, (n, t), dtype=np.int16)
+        got = double_bank_host(bank, block_clips=bc)
+        want = np.asarray(double_bank(jnp.asarray(bank)))
+        np.testing.assert_array_equal(got, want)
+        assert got.flags.c_contiguous
+
+
 def test_decode_chunked_reconstructs_exact_clips():
     rng = np.random.default_rng(1)
     for t in (512, 1280, 16000):
