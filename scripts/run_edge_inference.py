@@ -10,8 +10,10 @@ directory one clip at a time, and writes the submission CSV with the
 
 import argparse
 import csv
+import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -25,6 +27,13 @@ def main():
                    help="use the Pi script's 1/32767 scaling "
                         "(make_submission_on_rpi.py:97) instead of "
                         "decode_wav's 1/32768")
+    p.add_argument("--benchmark", action="store_true",
+                   help="after the sweep, print a benchmark_model-style "
+                        "report (reference README.md:146-157): artifact "
+                        "bytes, avg batch-1 ms/sample (end-to-end incl. "
+                        "WAV decode, and model-only), and the "
+                        "competition edge budget check (<5,000,000 "
+                        "bytes, <175 ms/sample)")
     args = p.parse_args()
 
     import numpy as np
@@ -36,17 +45,44 @@ def main():
                "left no").split()
     fn = load_exported(args.frozen_graph)
     scale = 32767.0 if args.legacy_scale else 32768.0
+    files = list_test_files(args.test_data)
+    if args.benchmark and files:
+        # compile + cache warmup outside the timed sweep (the reference's
+        # benchmark_model likewise reports steady-state averages)
+        warm = load_wav_file(files[0], desired_samples=16000, scale=scale)
+        np.asarray(fn(warm[None, :]))
     rows = []
-    for path in list_test_files(args.test_data):
+    decode_s = model_s = 0.0
+    t_sweep = time.perf_counter()
+    for path in files:
+        t0 = time.perf_counter()
         wav = load_wav_file(path, desired_samples=16000, scale=scale)
+        t1 = time.perf_counter()
         probs = np.asarray(fn(wav[None, :]))
+        model_s += time.perf_counter() - t1
+        decode_s += t1 - t0
         label = classes[int(probs.argmax())].strip("_")
         rows.append((os.path.basename(path), label))
+    sweep_s = time.perf_counter() - t_sweep
     with open(args.submission_fn, "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(["fname", "label"])
         w.writerows(rows)
     print(f"wrote {len(rows)} predictions to {args.submission_fn}")
+    if args.benchmark and rows:
+        n = len(rows)
+        size = os.path.getsize(args.frozen_graph)
+        ms = 1000.0 * sweep_s / n
+        report = {
+            "artifact_bytes": size,
+            "clips": n,
+            "avg_ms_per_sample": round(ms, 3),
+            "avg_model_ms": round(1000.0 * model_s / n, 3),
+            "avg_decode_ms": round(1000.0 * decode_s / n, 3),
+            "size_budget_5000000": bool(size < 5_000_000),
+            "latency_budget_175ms": bool(ms < 175.0),
+        }
+        print(json.dumps(report))
 
 
 if __name__ == "__main__":

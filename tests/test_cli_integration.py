@@ -6,6 +6,7 @@ tiny synthetic corpus via the scripts' main() functions.
 """
 
 import csv
+import json
 import os
 import subprocess
 import sys
@@ -104,12 +105,20 @@ def test_full_cli_chain(tmp_path):
     r = _run([f"{REPO}/scripts/run_edge_inference.py",
               "--frozen_graph", frozen,
               "--test_data", str(test_dir),
-              "--submission_fn", str(tmp_path / "rpi.csv")],
+              "--submission_fn", str(tmp_path / "rpi.csv"),
+              "--benchmark"],
              cwd=str(tmp_path))
     assert r.returncode == 0, r.stderr[-2000:]
     with open(tmp_path / "rpi.csv") as f:
         rows = list(csv.DictReader(f))
     assert len(rows) == 6
+    # --benchmark emits one benchmark_model-style JSON report line
+    # (reference README.md:146-157)
+    report = json.loads(
+        [l for l in r.stdout.splitlines() if l.startswith("{")][-1])
+    assert report["clips"] == 6
+    assert report["artifact_bytes"] == os.path.getsize(frozen)
+    assert report["avg_ms_per_sample"] > 0
 
     # --- distillation loop (reference README.md:98-135):
     # ensemble probs -> threshold pseudo-labels -> retrain with mixing.
