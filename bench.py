@@ -53,12 +53,26 @@ def _flops_per_step(trainer, state):
         return 0.0
 
 
+def _setup_compile_cache():
+    """Persistent compile cache shared by every bench child: the
+    train-step program is large and the bench host may have few cores;
+    cache across runs (and across the trace/scale subprocesses)."""
+    import jax
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def _trace_only():
     """Subprocess mode: capture a device trace of the train step on a
     small-bank twin and print one JSON line. Runs in its own process so
     the profiler has the full HBM (it OOMs next to the staged corpus)
     and so a failed capture cannot poison the parent's TPU client."""
-    import jax
+    _setup_compile_cache()
     from speech_recognition_tpu.config import (
         AugmentConfig, prepare_model_settings,
     )
@@ -195,16 +209,7 @@ def main():
                              "memory")
         return
     trace = json.loads(os.environ.get("BENCH_TRACE_JSON", "{}")) or None
-    import jax
-    # persistent compile cache: the train-step program is large and the
-    # bench host may have few cores; cache across runs
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    _setup_compile_cache()
     from speech_recognition_tpu.config import (
         AugmentConfig, prepare_model_settings,
     )
