@@ -49,7 +49,15 @@ def parse_args():
                    help="also export f32 + int8 weight-only AOT "
                         "artifacts and report their validation accuracy "
                         "delta")
-    p.add_argument("--output_representation", default="raw")
+    p.add_argument("--output_representation", default="auto",
+                   help="'auto' = the model's registry representation "
+                        "(raw/spec/mfcc/mfcc_and_raw)")
+    p.add_argument("--model_kwargs", default=None,
+                   help="JSON dict of extra module-constructor kwargs "
+                        "for ablations, e.g. '{\"head\": \"flatten\"}' "
+                        "on conv_2d_fast")
+    p.add_argument("--learning_rate", type=float, default=None,
+                   help="override the registry recipe's LR (ablations)")
     p.add_argument("--steps_per_dispatch", type=int, default=8,
                    help="chained steps per XLA dispatch (identical "
                         "updates; amortizes per-execution transport "
@@ -89,6 +97,10 @@ def main():
                           seed=args.corpus_seed,
                           snr_db_range=(args.snr_lo, args.snr_hi),
                           pitch_span_l=args.pitch_span_l)
+    if args.output_representation == "auto":
+        from speech_recognition_tpu.models.zoo import MODEL_REGISTRY
+        args.output_representation = (
+            MODEL_REGISTRY[args.model].representation)
     words = prepare_words_list(WANTED)
     settings = prepare_model_settings(
         label_count=len(words), window_size_ms=30.0, window_stride_ms=10.0,
@@ -102,7 +114,10 @@ def main():
     trainer = Trainer(
         model_name=args.model, settings=settings, dataset=dataset,
         augment=AugmentConfig(), batch_size=args.batch_size,
-        seed=args.seed, compute_dtype=args.compute_dtype)
+        seed=args.seed, compute_dtype=args.compute_dtype,
+        model_kwargs=json.loads(args.model_kwargs) if args.model_kwargs
+        else None,
+        learning_rate=args.learning_rate)
     state = trainer.init_state()
     steps = args.steps_per_epoch or None
     accs, losses = [], []
@@ -128,6 +143,7 @@ def main():
         steps_per_dispatch=args.steps_per_dispatch)
     record = {
         "model": args.model,
+        "representation": args.output_representation,
         "compute_dtype": trainer.compute_dtype,
         "pallas_augment": bool(trainer._use_pallas_augment),
         "bn_recal": args.bn_recalibration_batches,
@@ -135,6 +151,10 @@ def main():
         "snr_db": [args.snr_lo, args.snr_hi],
         "pitch_span_l": args.pitch_span_l,
         "epochs": args.epochs,
+        **({"model_kwargs": json.loads(args.model_kwargs)}
+           if args.model_kwargs else {}),
+        **({"learning_rate": args.learning_rate}
+           if args.learning_rate else {}),
         "val_acc_final": round(accs[-1], 4),
         "val_acc_best": round(max(accs), 4),
         "val_loss_final": round(losses[-1], 4),

@@ -96,7 +96,8 @@ def benchmark_train(trainer, state, steps: int = 100,
 
 
 def traced_train_device_time(trainer, state, steps: int = 20,
-                             warmup: int = 2):
+                             warmup: int = 2,
+                             steps_per_dispatch: int = 1):
     """Device-busy truth for the train step from a ``jax.profiler`` trace.
 
     The trace records how long the device actually ran each XLA module —
@@ -105,6 +106,11 @@ def traced_train_device_time(trainer, state, steps: int = 20,
     treat the traced number as a mild upper bound on pure device time;
     an honest (readback-synced) wall measurement should sit at or ABOVE
     it — wall below traced busy means the wall protocol is broken.
+
+    ``steps_per_dispatch > 1`` traces the ``train_many`` scan program —
+    pass the SAME value the wall measurement used so the traced program
+    is the one being timed (VERDICT r3 weak #3: tracing a different
+    program shape makes the wall-vs-device gap unattributable).
 
     Returns ``(state, summary)`` where summary is
     ``{"device_ms_per_step", "device_clips_per_sec", "device_busy_ms",
@@ -118,16 +124,28 @@ def traced_train_device_time(trainer, state, steps: int = 20,
         summarize_trace, trace_context,
     )
 
-    keys = jax.random.split(jax.random.PRNGKey(321), warmup + steps)
-    for i in range(warmup):
-        state, metrics = trainer.train_step(state, keys[i])
+    if steps_per_dispatch < 1 or steps % steps_per_dispatch:
+        raise ValueError("steps must be a multiple of steps_per_dispatch")
+
+    def _run(state, keyblock):
+        if steps_per_dispatch == 1:
+            for k in keyblock:
+                state, metrics = trainer.train_step(state, k)
+        else:
+            for i in range(0, len(keyblock), steps_per_dispatch):
+                state, metrics = trainer.train_many(
+                    state, keyblock[i:i + steps_per_dispatch])
+            metrics = {k: v[-1] for k, v in metrics.items()}
+        return state, metrics
+
+    warm = -(-max(warmup, 1) // steps_per_dispatch) * steps_per_dispatch
+    keys = jax.random.split(jax.random.PRNGKey(321), warm + steps)
+    state, metrics = _run(state, keys[:warm])
     _force(metrics)
     try:
         with tempfile.TemporaryDirectory() as td:
             with trace_context(td):
-                for i in range(steps):
-                    state, metrics = trainer.train_step(
-                        state, keys[warmup + i])
+                state, metrics = _run(state, keys[warm:])
                 _force(metrics)
             summary = summarize_trace(td, num_steps=steps)
     except Exception:

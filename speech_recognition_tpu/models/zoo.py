@@ -603,11 +603,18 @@ class Conv2DMobile(nn.Module):
 
 
 class Conv2DFast(nn.Module):
-    """Dilated conv + pool x4, GAP (model.py:597-639)."""
+    """Dilated conv + pool x4, GAP (model.py:597-639).
+
+    ``head`` is an ablation hook (docs/ACCURACY.md: does the GAP head —
+    which averages away what is left of temporal order — explain the
+    collapse-to-prior on the alias-ceiling corpus?): "gap" is the
+    reference-exact default; "flatten" keeps the 6x2 post-pool grid.
+    """
 
     num_classes: int
     time_size: int = 98
     frequency_size: int = 40
+    head: str = "gap"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -620,7 +627,10 @@ class Conv2DFast(nn.Module):
             x = L.ConvBN(f, k, padding="same", dilation=d, use_bias=True,
                          activation=nn.relu)(x, train)
             x = L.max_pool_2d(x)
-        x = L.global_avg_pool(x)
+        if self.head == "flatten":
+            x = x.reshape(b, -1)
+        else:
+            x = L.global_avg_pool(x)
         return L.Dense(self.num_classes)(x)
 
 
@@ -777,7 +787,9 @@ def build_model(model_type: str, num_classes: int = 11,
     ``settings`` carries feature geometry for the models that need it
     (spectrogram_length, num_log_mel_features, spectrogram_frequencies,
     desired_samples, window_*_samples) — threaded exactly like the
-    reference's **model_settings (train.py:50-54).
+    reference's **model_settings (train.py:50-54). ``model_kwargs``
+    (a dict inside settings) is passed to the module constructor last —
+    the hook for non-reference ablation fields like Conv2DFast.head.
     """
     spec = MODEL_REGISTRY.get(model_type)
     if spec is None:
@@ -806,6 +818,7 @@ def build_model(model_type: str, num_classes: int = 11,
             frequency_size=settings.get("num_log_mel_features", 40),
             frame_length=settings.get("window_size_samples", 480),
             frame_step=settings.get("window_stride_samples", 160))
+    kwargs.update(settings.get("model_kwargs") or {})
     module = spec.build(**kwargs)
     return module, spec
 

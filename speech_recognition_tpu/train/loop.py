@@ -97,6 +97,11 @@ class Trainer:
     # float32 elsewhere — validated convergence-equal on the synthetic
     # 12-class harness (val acc 1.0 both, val loss 0.0877 vs 0.0915).
     compute_dtype: str = "auto"
+    # Ablation hooks (calibrate_accuracy.py): extra module-constructor
+    # kwargs (e.g. {"head": "flatten"} on conv_2d_fast) and a learning-
+    # rate override of the registry recipe. None = reference-exact.
+    model_kwargs: Optional[Dict[str, Any]] = None
+    learning_rate: Optional[float] = None
     # Frontend matmul precision for the mfcc/spec data path. 'highest'
     # is the parity-exact default everywhere outside training; 'auto'
     # follows compute_dtype (bfloat16 -> single-pass 'fastest': the two
@@ -158,7 +163,8 @@ class Trainer:
             spectrogram_frequencies=s.spectrogram_frequencies,
             desired_samples=s.desired_samples,
             window_size_samples=s.window_size_samples,
-            window_stride_samples=s.window_stride_samples)
+            window_stride_samples=s.window_stride_samples,
+            model_kwargs=self.model_kwargs)
         fp = self.frontend_precision
         if fp == "auto":
             fp = ("fastest" if self.compute_dtype == "bfloat16"
@@ -184,7 +190,8 @@ class Trainer:
             {"params": key, "dropout": key}, x, train=False)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", core.freeze({}))
-        tx = build_optimizer(self.spec.optimizer, self.spec.learning_rate,
+        tx = build_optimizer(self.spec.optimizer,
+                             self.learning_rate or self.spec.learning_rate,
                              self.spec.momentum)
         state = TrainState(
             step=jnp.zeros((), jnp.int32),
