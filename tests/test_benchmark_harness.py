@@ -72,3 +72,38 @@ def test_benchmark_inference_probe_chains_batches():
     assert DummyPredictor.calls == 6  # warmup + steps all executed
     assert r["clips_per_sec"] > 0
     assert r["ms_per_batch"] > 0
+
+
+def test_roofline_diag_attribution():
+    """bench.py's roofline math: which wall the program leans on, and
+    the fusion ratio against the no-fusion traffic ceiling."""
+    import bench
+
+    # depthwise-ish profile: low arithmetic intensity -> memory-bound
+    d = bench.roofline_diag(flops=132e9, bytes_accessed=5.58e9,
+                            device_ms=3.64)
+    assert d["roofline_bound"] == "memory"
+    assert abs(d["arithmetic_intensity_flops_per_byte"] - 23.66) < 0.02
+    assert d["nofusion_memory_ms"] > d["compute_lightspeed_ms"]
+    # measured busy below the no-fusion ceiling => fusion saved traffic
+    assert 0 < d["fusion_traffic_ratio"] < 1
+
+    # matmul-tower profile: intensity above the ridge -> compute-bound
+    d = bench.roofline_diag(flops=1e12, bytes_accessed=1e9)
+    assert d["roofline_bound"] == "compute"
+    assert "fusion_traffic_ratio" not in d
+
+
+def test_cost_per_step_reports_flops_and_bytes():
+    """XLA cost analysis feeds the roofline; both terms must be real
+    on the compiled train step (CPU backend also reports them)."""
+    import bench
+
+    trainer = _trainer()
+    state = trainer.init_state()
+    flops, bytes_accessed = bench._cost_per_step(trainer, state)
+    assert flops > 0
+    assert bytes_accessed > 0
+    # a train step that computed fewer flops than it moved operand
+    # bytes/10 would mean the lowering lost the model entirely
+    assert flops / bytes_accessed > 0.1
