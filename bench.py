@@ -65,6 +65,34 @@ def _cost_per_step(trainer, state):
         return 0.0, 0.0
 
 
+def roofline_diag(flops, bytes_accessed, device_ms=None):
+    """Roofline attribution for the MFU number (docs/TPU_RUN.md).
+
+    Arithmetic intensity vs the v5e ridge point (~240 flops/byte) says
+    which wall the program leans on. XLA's "bytes accessed" counts
+    every operand+output, so ``nofusion_memory_ms`` is the NO-FUSION
+    traffic ceiling, not a floor — device busy lands between
+    ``compute_lightspeed_ms`` (MXU light-speed) and that ceiling, and
+    ``fusion_traffic_ratio`` (busy / no-fusion ceiling, meaningful when
+    the program is memory-bound) is the fraction of naive HBM traffic
+    the fused program still pays.
+    """
+    compute_ms = flops / V5E_BF16_PEAK_FLOPS * 1e3
+    memory_ms = bytes_accessed / V5E_HBM_BYTES_PER_SEC * 1e3
+    out = {
+        "bytes_accessed_per_step": bytes_accessed,
+        "compute_lightspeed_ms": round(compute_ms, 4),
+        "nofusion_memory_ms": round(memory_ms, 4),
+        "arithmetic_intensity_flops_per_byte": round(
+            flops / bytes_accessed, 2),
+        "roofline_bound": "memory" if memory_ms > compute_ms
+        else "compute",
+    }
+    if device_ms is not None:
+        out["fusion_traffic_ratio"] = round(device_ms / memory_ms, 3)
+    return out
+
+
 def _setup_compile_cache():
     """Persistent compile cache shared by every bench child: the
     train-step program is large and the bench host may have few cores;
@@ -331,13 +359,18 @@ def main():
               f"clips/s device-only ceiling)", file=sys.stderr)
     reps = []
     num_reps = 3 if small else 6
+    # Dispatch width: the ~10-15 ms tunnel cost amortizes over the scan
+    # length, so wider dispatch narrows the wall-vs-device gap
+    # (docs/TPU_RUN.md roofline section measures the tradeoff).
+    spd = int(os.environ.get("BENCH_SPD", "50"))
+    bench_steps = max(100, spd)
     for rep in range(num_reps):
         if rep:
             time.sleep(10)  # honest reps are ±1%; short spacing suffices
         try:
-            state, r = benchmark_train(trainer, state, steps=100,
+            state, r = benchmark_train(trainer, state, steps=bench_steps,
                                        warmup=10 if rep == 0 else 5,
-                                       steps_per_dispatch=50)
+                                       steps_per_dispatch=spd)
         except Exception as e:
             # a failed allocation wedges this process's device memory —
             # stop here; recorded reps (if any) still count, otherwise
@@ -363,7 +396,8 @@ def main():
             traced_train_device_time,
         )
         state, full_trace = traced_train_device_time(
-            trainer, state, steps=100, warmup=5, steps_per_dispatch=50)
+            trainer, state, steps=bench_steps, warmup=5,
+            steps_per_dispatch=spd)
     except Exception as e:
         print(f"in-process trace failed: {e}", file=sys.stderr)
         full_trace = None
@@ -411,27 +445,9 @@ def main():
                 flops / (trace["device_ms_per_step"] / 1e3)
                 / V5E_BF16_PEAK_FLOPS, 4)
     if flops and bytes_accessed:
-        # Roofline attribution for the MFU number (docs/TPU_RUN.md):
-        # arithmetic intensity vs the v5e ridge point (~240 flops/byte)
-        # says which wall the program leans on. XLA's "bytes accessed"
-        # counts every operand+output, so memory_ms is the NO-FUSION
-        # traffic ceiling, not a floor — device busy lands between
-        # compute_ms (MXU light-speed) and memory_ms, and
-        # fusion_traffic_ratio (busy/no-fusion-ceiling, valid when the
-        # program is memory-bound) is the fraction of naive HBM traffic
-        # the fused program still pays.
-        compute_ms = flops / V5E_BF16_PEAK_FLOPS * 1e3
-        memory_ms = bytes_accessed / V5E_HBM_BYTES_PER_SEC * 1e3
-        diag["bytes_accessed_per_step"] = bytes_accessed
-        diag["compute_lightspeed_ms"] = round(compute_ms, 4)
-        diag["nofusion_memory_ms"] = round(memory_ms, 4)
-        diag["arithmetic_intensity_flops_per_byte"] = round(
-            flops / bytes_accessed, 2)
-        diag["roofline_bound"] = ("memory" if memory_ms > compute_ms
-                                  else "compute")
-        if trace:
-            diag["fusion_traffic_ratio"] = round(
-                trace["device_ms_per_step"] / memory_ms, 3)
+        diag.update(roofline_diag(
+            flops, bytes_accessed,
+            trace["device_ms_per_step"] if trace else None))
     print(f"diagnostics: {json.dumps(diag)}", file=sys.stderr)
 
     print(json.dumps({
