@@ -220,9 +220,20 @@ def _accuracy_signal():
     }
     if ACC_BAND:
         out["band"] = list(ACC_BAND)
-        out["accuracy_regression"] = bool(
-            max(bests) < ACC_BAND[0] or min(bests) > ACC_BAND[1])
+        out["accuracy_regression"] = acc_band_verdict(bests, ACC_BAND)
     print(f"accuracy: {json.dumps(out)}", file=sys.stderr)
+
+
+def acc_band_verdict(bests, band):
+    """True iff the per-seed best accuracies flag a regression.
+
+    Flags only when EVERY seed falls below the band floor (one bad
+    seed inside an honest band is noise; all seeds below it is a real
+    augment/numerics/BN regression) — or when every seed sits above
+    the ceiling, which on the alias-ceiling corpus (Bayes-bounded,
+    docs/ACCURACY.md) means the corpus generator itself regressed to
+    something separable and the instrument lost its sensitivity."""
+    return bool(max(bests) < band[0] or min(bests) > band[1])
 
 
 def _scale_subprocess(trace):
@@ -419,7 +430,7 @@ def main():
             trace["device_ms_per_step"], 4)
         diag["traced_on"] = traced_on
         diag["traced_steps_per_dispatch"] = (
-            50 if traced_on == scale_used else 1)
+            spd if traced_on == scale_used else 1)
         diag["wall_best_over_traced"] = round(
             result["ms_per_step"] / trace["device_ms_per_step"], 3)
         # honest wall sits at/above device busy; below means broken sync

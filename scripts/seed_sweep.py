@@ -34,8 +34,14 @@ def parse_args():
                                         "seed_sweep.jsonl"))
     p.add_argument("--timeout", type=int, default=1800)
     p.add_argument("--extra", nargs="*", default=[],
-                   help="extra flags passed through to calibrate_accuracy")
-    return p.parse_args()
+                   help="extra flags passed through to calibrate_accuracy; "
+                        "argparse stops nargs='*' at the first '--'-prefixed "
+                        "token, so pass ONE quoted string "
+                        "(--extra='--clips_per_word 60') — items are split "
+                        "on whitespace")
+    args = p.parse_args()
+    args.extra = [t for item in args.extra for t in item.split()]
+    return args
 
 
 def run_key(rec):

@@ -107,3 +107,23 @@ def test_cost_per_step_reports_flops_and_bytes():
     # a train step that computed fewer flops than it moved operand
     # bytes/10 would mean the lowering lost the model entirely
     assert flops / bytes_accessed > 0.1
+
+def test_acc_band_verdict_logic():
+    """The per-round accuracy signal flags only multi-seed departures:
+    all seeds below the band floor (real regression) or all above the
+    ceiling (corpus lost its alias ambiguity) — never a single outlier
+    seed inside an honest noise band."""
+    import bench
+
+    band = (0.80, 0.97)
+    assert not bench.acc_band_verdict([0.86, 0.88], band)   # in band
+    assert not bench.acc_band_verdict([0.78, 0.85], band)   # one low seed
+    assert bench.acc_band_verdict([0.70, 0.75], band)       # all below
+    assert bench.acc_band_verdict([0.99, 0.995], band)      # all above
+    assert not bench.acc_band_verdict([0.95, 0.99], band)   # one high seed
+    # the shipped band, when set, must be sane: floor < ceiling, both
+    # inside (0, 1), and wide enough to hold the measured spread
+    if bench.ACC_BAND:
+        lo, hi = bench.ACC_BAND
+        assert 0.0 < lo < hi <= 1.0
+        assert hi - lo >= 0.02
