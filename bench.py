@@ -178,15 +178,33 @@ SCALES = {
 # see docs/ACCURACY.md) with the observed spread doubled as margin —
 # a run below it means a real augment/numerics/BN regression, not noise.
 ACC_SEEDS = (0, 1)
-ACC_ARGS = ["--clips_per_word", "60", "--epochs", "10",
-            "--steps_per_dispatch", "8"]
-ACC_BAND = None  # set after the compact-config sweep lands
+# conv_1d_spec at the calibrate defaults (100 clips/word), not the
+# flagship: the flagship needs ~30 epochs to escape the prior basin,
+# so a compact flagship run sits mid-curve where seed variance is
+# maximal (measured: seeds 0/1 at 10 ep x 60 clips scored 0.375/0.289
+# — docs/sweeps/seed_sweep_compact_flagship_negative.jsonl); a 60-clip
+# corpus leaves even conv_1d_spec mid-curve (0.648 at 12 ep), and the
+# corpus size barely moves wall time (~100 total steps — host corpus
+# synth + compile dominate). conv_1d_spec at 100 clips converges by
+# 12 epochs (the zoo-table anchor, docs/ACCURACY.md) and drives the
+# same production path as the flagship recipe (device bank, Pallas
+# decode+augment, STFT frontend, BN recalibration, exact-Keras
+# optimizer, scan dispatch).
+ACC_ARGS = ["--model", "conv_1d_spec",
+            "--epochs", "12", "--steps_per_dispatch", "8"]
+# Measured 5-seed sweep of this exact config (2026-08-19, real v5e,
+# docs/sweeps/seed_sweep_compact.jsonl): val_acc_best per seed =
+# [0.8789, 0.8477, 0.8594, 0.8477, 0.8516] — mean 0.8571, sd 0.0131,
+# spread 0.0312. Band = [min - spread, max + spread]:
+ACC_BAND = (0.816, 0.910)
 
 
 def _accuracy_signal():
     """Run the compact calibration (one child per seed, fresh TPU
-    client each) and print one ``accuracy:`` JSON line to stderr for
-    the driver record. Never fails the bench run itself — it flags."""
+    client each), print one ``accuracy:`` JSON line to stderr, and
+    return the record so the parent can embed it in the measurement
+    child's ``diagnostics:`` JSON (the line the driver records).
+    Never fails the bench run itself — it flags."""
     import subprocess
     script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "scripts", "calibrate_accuracy.py")
@@ -207,9 +225,9 @@ def _accuracy_signal():
         except Exception as e:
             print(f"acc seed {seed} failed: {e}", file=sys.stderr)
     if not recs:
-        print('accuracy: {"error": "no compact calibration record"}',
-              file=sys.stderr)
-        return
+        out = {"error": "no compact calibration record"}
+        print(f"accuracy: {json.dumps(out)}", file=sys.stderr)
+        return out
     bests = [r["val_acc_best"] for r in recs]
     out = {
         "config": {"seeds": list(ACC_SEEDS)[:len(recs)],
@@ -222,6 +240,7 @@ def _accuracy_signal():
         out["band"] = list(ACC_BAND)
         out["accuracy_regression"] = acc_band_verdict(bests, ACC_BAND)
     print(f"accuracy: {json.dumps(out)}", file=sys.stderr)
+    return out
 
 
 def acc_band_verdict(bests, band):
@@ -308,12 +327,17 @@ def main():
         return _trace_only()
     if not os.environ.get("BENCH_SCALE"):
         _preflight()
+        # accuracy first (serial children, no contention with the wall
+        # reps) so its record can ride inside the measurement child's
+        # diagnostics JSON — the line the driver artifact records.
+        if not os.environ.get("BENCH_SKIP_ACC"):
+            acc = _accuracy_signal()
+            if acc:
+                os.environ["BENCH_ACC_JSON"] = json.dumps(acc)
         trace = _trace_subprocess()
         if not _scale_subprocess(trace):
             raise SystemExit("no bench scale fits the current device "
                              "memory")
-        if not os.environ.get("BENCH_SKIP_ACC"):
-            _accuracy_signal()  # after the wall reps: no chip contention
         return
     trace = json.loads(os.environ.get("BENCH_TRACE_JSON", "{}")) or None
     _setup_compile_cache()
@@ -459,6 +483,10 @@ def main():
         diag.update(roofline_diag(
             flops, bytes_accessed,
             trace["device_ms_per_step"] if trace else None))
+    if os.environ.get("BENCH_ACC_JSON"):
+        # the parent's per-round accuracy signal (VERDICT r3 item 4):
+        # embedded here so it lands in the recorded BENCH artifact
+        diag["accuracy"] = json.loads(os.environ["BENCH_ACC_JSON"])
     print(f"diagnostics: {json.dumps(diag)}", file=sys.stderr)
 
     print(json.dumps({
