@@ -395,9 +395,14 @@ def main():
     reps = []
     num_reps = 3 if small else 6
     # Dispatch width: the ~10-15 ms tunnel cost amortizes over the scan
-    # length, so wider dispatch narrows the wall-vs-device gap
-    # (docs/TPU_RUN.md roofline section measures the tradeoff).
-    spd = int(os.environ.get("BENCH_SPD", "50"))
+    # length, so wider dispatch narrows the wall-vs-device gap. Measured
+    # sweep (full bank, 2026-08-19): 50 -> 97.5k, 100 -> 97.4k,
+    # 200 -> 101.3k, 400 -> 103.0k, 800 -> 104.1k clips/s with device
+    # busy flat at 3.649 ms/step — wall/traced shrinks 1.080 -> 1.011
+    # (docs/TPU_RUN.md dispatch-width table). 800 is the default (<1%
+    # headroom left to the device-only ceiling); the scan is rolled so
+    # compile time does not grow with the width.
+    spd = int(os.environ.get("BENCH_SPD", "800"))
     bench_steps = max(100, spd)
     for rep in range(num_reps):
         if rep:
