@@ -25,6 +25,7 @@ Design notes vs the reference (model.py):
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Optional, Sequence
 
 import jax
@@ -35,6 +36,78 @@ Dtype = Any
 
 BN_MOMENTUM = 0.99
 BN_EPS = 1e-3
+
+# Optionally lower small-kernel 1-D depthwise convolutions to
+# shifted-slice FMAs instead of lax.conv_general_dilated.
+#
+# MEASURED NEGATIVE on v5e — default OFF. Hypothesis was that the conv
+# HLO is a fusion barrier (dw output round-trips HBM before the 1x1
+# pointwise reads it) and an elementwise tap chain would fuse into the
+# pointwise conv fusion. The flagship train-step profile says otherwise:
+# 4.425 ms/step unrolled vs 3.066 baseline (scripts/profile_step.py,
+# 2026-08-19). Two reasons, both visible in the trace: (a) XLA's
+# convolution fusions were ALREADY absorbing the neighboring elementwise
+# work (the baseline's `divide_add_fusion`/`convert_reduce_fusion` conv
+# fusions carry the BN divides and stat reductions), so there was no
+# barrier to remove; (b) the reformulation's pads — SAME-padding
+# materialization forward, strided-slice transposes backward — surface
+# as standalone `pad` HLOs (0.49 ms/step) plus bigger BN loop fusions
+# that the conv path got for free. Kept (flag + tests) as the documented
+# experiment; see docs/TPU_RUN.md "what didn't work".
+DEPTHWISE_UNROLL = os.environ.get("SRT_DEPTHWISE_UNROLL", "0") == "1"
+
+
+def _depthwise_conv1d_unrolled(x: jax.Array, w: jax.Array, stride: int,
+                               padding: str, dilation: int) -> jax.Array:
+    """[B, T, C] depthwise 1-D conv as an unrolled tap chain.
+
+    ``w`` is flax's grouped-conv kernel of shape (k, 1, C). Replicates
+    lax string padding semantics ('SAME'/'VALID') exactly.
+    """
+    k = w.shape[0]
+    t = x.shape[1]
+    span = (k - 1) * dilation + 1
+    if padding == "SAME":
+        out = -(-t // stride)
+        pad_total = max(0, (out - 1) * stride + span - t)
+        lo = pad_total // 2
+        if pad_total:
+            x = jnp.pad(x, ((0, 0), (lo, pad_total - lo), (0, 0)))
+    else:
+        out = (t - span) // stride + 1
+    last = (out - 1) * stride
+    wf = w.astype(jnp.float32)
+    acc = None
+    for i in range(k):
+        sl = jax.lax.slice_in_dim(
+            x, i * dilation, i * dilation + last + 1, stride, axis=1)
+        term = sl.astype(jnp.float32) * wf[i, 0]
+        acc = term if acc is None else acc + term
+    return acc.astype(x.dtype)
+
+
+def _conv_general_dispatch(lhs, rhs, window_strides, padding, *,
+                           lhs_dilation=None, rhs_dilation=None,
+                           dimension_numbers=None, feature_group_count=1,
+                           precision=None, **kwargs):
+    """flax ``conv_general_dilated`` hook: unrolled path for 1-D
+    depthwise convs, ``lax.conv_general_dilated`` for everything else."""
+    rhs_dil = tuple(rhs_dilation) if rhs_dilation else (1,) * (lhs.ndim - 2)
+    if (DEPTHWISE_UNROLL
+            and lhs.ndim == 3
+            and feature_group_count == lhs.shape[-1] > 1
+            and rhs.shape[1] == 1 and rhs.shape[2] == lhs.shape[-1]
+            and rhs.shape[0] <= 8
+            and isinstance(padding, str) and padding in ("SAME", "VALID")
+            and (not lhs_dilation or all(d == 1 for d in lhs_dilation))):
+        return _depthwise_conv1d_unrolled(
+            lhs, rhs, window_strides[0], padding, rhs_dil[0])
+    return jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides, padding,
+        lhs_dilation=lhs_dilation, rhs_dilation=rhs_dilation,
+        dimension_numbers=dimension_numbers,
+        feature_group_count=feature_group_count, precision=precision,
+        **kwargs)
 
 
 def relu6(x: jax.Array) -> jax.Array:
@@ -62,9 +135,15 @@ def _padding(p: str) -> str:
 
 class Conv(nn.Conv):
     """nn.Conv with Keras's glorot_uniform kernel default (the reference
-    framework's initializer for every Conv layer)."""
+    framework's initializer for every Conv layer) and the opt-in
+    depthwise unrolled lowering (``_conv_general_dispatch``) — parameter
+    tree and semantics are identical to nn.Conv; only the HLO emitted
+    for 1-D depthwise convolutions differs, and only when
+    ``SRT_DEPTHWISE_UNROLL=1`` (measured slower on v5e; see the
+    DEPTHWISE_UNROLL note above)."""
 
     kernel_init: Callable = nn.initializers.glorot_uniform()
+    conv_general_dilated: Any = staticmethod(_conv_general_dispatch)
 
 
 class Dense(nn.Dense):
