@@ -36,8 +36,18 @@ def _run_train(tmp_path, data_dir, extra):
         # momentum 0.99 converges only after ~1000 steps)
         "--bn_recalibration_batches", "12",
     ] + extra
+    # The CLI subprocess inherits the conftest's 8-virtual-device
+    # XLA_FLAGS; under host load the 8-way CPU-collective rendezvous
+    # (40 s) flakes on this 1-vCPU box. 2 devices still exercise the DP
+    # mesh path end-to-end (8- and 16-device meshes are covered by
+    # dryrun_multichip and the in-process mesh tests) with a quarter of
+    # the rendezvous pressure.
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "").replace(
+        "--xla_force_host_platform_device_count=8", "").strip()
+        + " --xla_force_host_platform_device_count=2").strip()
     proc = subprocess.run(cmd, cwd=str(tmp_path), capture_output=True,
-                          text=True, timeout=3600)
+                          text=True, timeout=3600, env=env)
     assert proc.returncode == 0, \
         f"train.py failed:\n{proc.stdout[-4000:]}\n{proc.stderr[-4000:]}"
     return proc
