@@ -256,23 +256,6 @@ def fused_separable_block(x: jax.Array,          # [B, T, Cin]
     return y
 
 
-def _dec(xp, tap, t_out, stride):
-    """Rows tap, tap+stride, ... of ``xp`` (t_out of them), stride-safe:
-    Mosaic rejects strided vector slices, so decimation is a contiguous
-    slice + leading-dim split."""
-    if stride == 1:
-        return jax.lax.slice_in_dim(xp, tap, tap + t_out, 1, axis=0)
-    need = t_out * stride
-    sl = jax.lax.slice_in_dim(
-        xp, tap, tap + min((t_out - 1) * stride + 1, xp.shape[0] - tap),
-        1, axis=0)
-    if sl.shape[0] < need:
-        sl = jnp.concatenate(
-            [sl, jnp.zeros((need - sl.shape[0], sl.shape[1]), sl.dtype)],
-            axis=0)
-    return sl.reshape(t_out, stride, sl.shape[1])[:, 0]
-
-
 def _flat2(v3):
     """[TB, T, C] -> [TB*T, C] (leading-dim merge, layout-preserving)."""
     tb, t, c = v3.shape
