@@ -206,14 +206,23 @@ def _accuracy_signal():
     child's ``diagnostics:`` JSON (the line the driver records).
     Never fails the bench run itself — it flags."""
     import subprocess
-    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "scripts", "calibrate_accuracy.py")
+    here = os.path.dirname(os.path.abspath(__file__))
+    script = os.path.join(here, "scripts", "calibrate_accuracy.py")
+    # The calibration script doesn't configure a compile cache itself;
+    # jax.config updates don't cross the process boundary, so hand the
+    # children the persistent cache via env (JAX reads these natively).
+    # On this 1-vCPU host a cold train-step compile can eat most of the
+    # child's timeout — the cache makes the signal robust across rounds.
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(here, ".jax_cache"))
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
     recs = []
     for seed in ACC_SEEDS:
         try:
             proc = subprocess.run(
                 [sys.executable, script, "--seed", str(seed), *ACC_ARGS],
-                capture_output=True, text=True, timeout=900)
+                env=env, capture_output=True, text=True, timeout=900)
             for line in reversed(proc.stdout.strip().splitlines()):
                 if line.strip().startswith("{"):
                     recs.append(json.loads(line))

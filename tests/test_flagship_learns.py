@@ -11,6 +11,7 @@ accuracy, then exercises checkpoint resume.
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 
@@ -46,8 +47,39 @@ def _run_train(tmp_path, data_dir, extra):
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "").replace(
         "--xla_force_host_platform_device_count=8", "").strip()
         + " --xla_force_host_platform_device_count=2").strip()
-    proc = subprocess.run(cmd, cwd=str(tmp_path), capture_output=True,
-                          text=True, timeout=3600, env=env)
+    # XLA's CPU-collective rendezvous has a FIXED deadline and SIGABRTs
+    # the process when other compute (a bench run, another test) starves
+    # this 1-vCPU box past it. That is host starvation, not a product
+    # failure — retry signal deaths (negative returncode) a bounded
+    # number of times; a real regression exits with a positive code or
+    # bad artifacts and still fails on the first attempt. A crashed
+    # attempt leaves partial artifacts (train.py APPENDS to the jsonl;
+    # each run writes its own TB events file), so snapshot and restore
+    # them so the retried run's artifact counts match a clean run.
+    jsonl = tmp_path / "logs_synth.jsonl"
+    tb_dir = tmp_path / "logs_synth"
+    ckpt_dir = tmp_path / "checkpoints_synth"
+    jsonl_before = jsonl.read_bytes() if jsonl.exists() else None
+    tb_before = set(os.listdir(tb_dir)) if tb_dir.is_dir() else None
+    ckpt_before = set(os.listdir(ckpt_dir)) if ckpt_dir.is_dir() else None
+    for attempt in range(3):
+        proc = subprocess.run(cmd, cwd=str(tmp_path), capture_output=True,
+                              text=True, timeout=3600, env=env)
+        if proc.returncode >= 0:
+            break
+        print(f"train.py killed by signal {-proc.returncode} "
+              f"(attempt {attempt + 1}/3, host contention) — retrying",
+              file=sys.stderr)
+        if jsonl_before is None:
+            jsonl.unlink(missing_ok=True)
+        else:
+            jsonl.write_bytes(jsonl_before)
+        if tb_dir.is_dir():
+            for name in set(os.listdir(tb_dir)) - (tb_before or set()):
+                os.unlink(tb_dir / name)
+        if ckpt_dir.is_dir():
+            for name in set(os.listdir(ckpt_dir)) - (ckpt_before or set()):
+                shutil.rmtree(ckpt_dir / name)
     assert proc.returncode == 0, \
         f"train.py failed:\n{proc.stdout[-4000:]}\n{proc.stderr[-4000:]}"
     return proc
