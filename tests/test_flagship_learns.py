@@ -21,6 +21,84 @@ from synth_corpus import build_corpus
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# XLA's CPU-collective rendezvous has a FIXED deadline and SIGABRTs the
+# process when other compute (a bench run, another test) starves this
+# 1-vCPU box past it; the host OOM killer delivers SIGKILL under the
+# same contention. Those two are host starvation, not product failures.
+# Any OTHER signal (SIGSEGV in particular — a real crash in wavio.cc or
+# the Pallas path) must fail on the first attempt, never be retried
+# (VERDICT r4 weak #3 / ADVICE r4).
+RETRYABLE_SIGNALS = (6, 9)  # SIGABRT, SIGKILL
+
+
+def _should_retry(returncode: int) -> bool:
+    """True only for deaths by a known host-starvation signal."""
+    return returncode < 0 and -returncode in RETRYABLE_SIGNALS
+
+
+def _run_with_starvation_retry(cmd, cwd, env, restore, attempts=3,
+                               timeout=3600):
+    """Run ``cmd``, retrying ONLY starvation-signal deaths.
+
+    ``restore`` undoes a crashed attempt's partial artifacts before the
+    retry. Returns ``(proc, attempts_used)`` so tests can assert the
+    retry predicate's behavior directly."""
+    for attempt in range(attempts):
+        proc = subprocess.run(cmd, cwd=cwd, capture_output=True,
+                              text=True, timeout=timeout, env=env)
+        if not _should_retry(proc.returncode):
+            return proc, attempt + 1
+        print(f"train.py killed by signal {-proc.returncode} "
+              f"(attempt {attempt + 1}/{attempts}, host contention) — "
+              f"retrying", file=sys.stderr)
+        restore()
+    return proc, attempts
+
+
+def _make_artifact_restorer(tmp_path):
+    """Snapshot the training artifacts a crashed attempt can dirty.
+
+    train.py APPENDS to the jsonl, each run writes its own TB events
+    file, BestCheckpoint writes checkpoint DIRECTORIES plus a plain
+    ``BEST`` pointer FILE into checkpoints_synth/ — so the restore must
+    branch on file-vs-dir (rmtree on the BEST file raises
+    NotADirectoryError, ADVICE r4 #1) and restore pre-existing plain
+    files' BYTES, not just delete new entries (ADVICE r4 #2)."""
+    jsonl = tmp_path / "logs_synth.jsonl"
+    tb_dir = tmp_path / "logs_synth"
+    ckpt_dir = tmp_path / "checkpoints_synth"
+    jsonl_before = jsonl.read_bytes() if jsonl.exists() else None
+    tb_before = set(os.listdir(tb_dir)) if tb_dir.is_dir() else set()
+    ckpt_before = {}
+    if ckpt_dir.is_dir():
+        for name in os.listdir(ckpt_dir):
+            p = ckpt_dir / name
+            # plain files (the BEST pointer) snapshot by bytes;
+            # checkpoint dirs are immutable once written — None marks
+            # "pre-existing dir, keep as is"
+            ckpt_before[name] = p.read_bytes() if p.is_file() else None
+
+    def restore():
+        if jsonl_before is None:
+            jsonl.unlink(missing_ok=True)
+        else:
+            jsonl.write_bytes(jsonl_before)
+        if tb_dir.is_dir():
+            for name in set(os.listdir(tb_dir)) - tb_before:
+                os.unlink(tb_dir / name)
+        if ckpt_dir.is_dir():
+            for name in os.listdir(ckpt_dir):
+                p = ckpt_dir / name
+                if name not in ckpt_before:
+                    if p.is_dir():
+                        shutil.rmtree(p)
+                    else:
+                        os.unlink(p)
+                elif ckpt_before[name] is not None:
+                    p.write_bytes(ckpt_before[name])
+
+    return restore
+
 
 def _run_train(tmp_path, data_dir, extra):
     cmd = [
@@ -47,42 +125,59 @@ def _run_train(tmp_path, data_dir, extra):
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "").replace(
         "--xla_force_host_platform_device_count=8", "").strip()
         + " --xla_force_host_platform_device_count=2").strip()
-    # XLA's CPU-collective rendezvous has a FIXED deadline and SIGABRTs
-    # the process when other compute (a bench run, another test) starves
-    # this 1-vCPU box past it. That is host starvation, not a product
-    # failure — retry signal deaths (negative returncode) a bounded
-    # number of times; a real regression exits with a positive code or
-    # bad artifacts and still fails on the first attempt. A crashed
-    # attempt leaves partial artifacts (train.py APPENDS to the jsonl;
-    # each run writes its own TB events file), so snapshot and restore
-    # them so the retried run's artifact counts match a clean run.
-    jsonl = tmp_path / "logs_synth.jsonl"
-    tb_dir = tmp_path / "logs_synth"
-    ckpt_dir = tmp_path / "checkpoints_synth"
-    jsonl_before = jsonl.read_bytes() if jsonl.exists() else None
-    tb_before = set(os.listdir(tb_dir)) if tb_dir.is_dir() else None
-    ckpt_before = set(os.listdir(ckpt_dir)) if ckpt_dir.is_dir() else None
-    for attempt in range(3):
-        proc = subprocess.run(cmd, cwd=str(tmp_path), capture_output=True,
-                              text=True, timeout=3600, env=env)
-        if proc.returncode >= 0:
-            break
-        print(f"train.py killed by signal {-proc.returncode} "
-              f"(attempt {attempt + 1}/3, host contention) — retrying",
-              file=sys.stderr)
-        if jsonl_before is None:
-            jsonl.unlink(missing_ok=True)
-        else:
-            jsonl.write_bytes(jsonl_before)
-        if tb_dir.is_dir():
-            for name in set(os.listdir(tb_dir)) - (tb_before or set()):
-                os.unlink(tb_dir / name)
-        if ckpt_dir.is_dir():
-            for name in set(os.listdir(ckpt_dir)) - (ckpt_before or set()):
-                shutil.rmtree(ckpt_dir / name)
+    proc, _ = _run_with_starvation_retry(
+        cmd, str(tmp_path), env, _make_artifact_restorer(tmp_path))
     assert proc.returncode == 0, \
         f"train.py failed:\n{proc.stdout[-4000:]}\n{proc.stderr[-4000:]}"
     return proc
+
+
+def test_sigsegv_child_is_not_retried(tmp_path):
+    """A real crash (SIGSEGV) must fail on attempt 1 — the starvation
+    retry must not give a segfault in native/Pallas code three silent
+    chances (VERDICT r4 weak #3)."""
+    cmd = [sys.executable, "-c",
+           "import os, signal; os.kill(os.getpid(), signal.SIGSEGV)"]
+    proc, attempts = _run_with_starvation_retry(
+        cmd, str(tmp_path), dict(os.environ), restore=lambda: None)
+    assert attempts == 1
+    assert proc.returncode == -11
+
+
+def test_sigabrt_child_is_retried(tmp_path):
+    """The known starvation signal (SIGABRT from the XLA rendezvous
+    deadline) is retried up to the attempt bound, restoring artifacts
+    between attempts."""
+    restores = []
+    cmd = [sys.executable, "-c",
+           "import os, signal; os.kill(os.getpid(), signal.SIGABRT)"]
+    proc, attempts = _run_with_starvation_retry(
+        cmd, str(tmp_path), dict(os.environ),
+        restore=lambda: restores.append(1), attempts=2)
+    assert attempts == 2
+    assert proc.returncode == -6
+    assert len(restores) == 2  # restore ran after every failed attempt
+
+
+def test_artifact_restorer_handles_best_pointer_file(tmp_path):
+    """BestCheckpoint writes a plain BEST file next to checkpoint dirs;
+    the restorer must unlink new files, rmtree new dirs, and restore a
+    pre-existing BEST's bytes (ADVICE r4 #1/#2)."""
+    ckpt_dir = tmp_path / "checkpoints_synth"
+    ckpt_dir.mkdir()
+    (ckpt_dir / "BEST").write_bytes(b"ep-001")
+    (ckpt_dir / "ep-001").mkdir()
+    restore = _make_artifact_restorer(tmp_path)
+    # a crashed attempt overwrites BEST and adds a new dir + a new file
+    (ckpt_dir / "BEST").write_bytes(b"ep-002")
+    (ckpt_dir / "ep-002").mkdir()
+    (ckpt_dir / "ep-002" / "weights").write_bytes(b"x")
+    (tmp_path / "logs_synth.jsonl").write_text('{"epoch": 1}\n')
+    restore()
+    assert (ckpt_dir / "BEST").read_bytes() == b"ep-001"
+    assert (ckpt_dir / "ep-001").is_dir()
+    assert not (ckpt_dir / "ep-002").exists()
+    assert not (tmp_path / "logs_synth.jsonl").exists()
 
 
 def _read_history(tmp_path):
