@@ -3,7 +3,7 @@
 conv-fusion pipeline, per flagship trunk block shape (batch 384, bf16).
 
 This is the measurement gate that decided AGAINST wiring
-ops/pallas/separable_kernel.py into the models — see docs/TPU_RUN.md
+ops/pallas/experiments/separable_kernel.py into the models — see docs/TPU_RUN.md
 "what didn't work". Timing is the honest chained-readback protocol
 (one scan-of-K program per variant; the probe carry forces every
 iteration; final jax.device_get is the only sync). Each variant pays
@@ -15,7 +15,7 @@ Writes one JSON line per block config to stdout-adjacent JSONL.
 import sys, time, functools, json, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp
-from speech_recognition_tpu.ops.pallas.separable_kernel import (
+from speech_recognition_tpu.ops.pallas.experiments.separable_kernel import (
     fused_separable_block, reference_block)
 
 B = 384

@@ -52,8 +52,10 @@ BN_EPS = 1e-3
 # barrier to remove; (b) the reformulation's pads — SAME-padding
 # materialization forward, strided-slice transposes backward — surface
 # as standalone `pad` HLOs (0.49 ms/step) plus bigger BN loop fusions
-# that the conv path got for free. Kept (flag + tests) as the documented
-# experiment; see docs/TPU_RUN.md "what didn't work".
+# that the conv path got for free. FROZEN negative experiment: kept
+# (flag + tests) for re-measurement on future hardware only, no further
+# tuning planned; see docs/TPU_RUN.md "what didn't work" and the
+# quarantined kernels in ops/pallas/experiments/.
 DEPTHWISE_UNROLL = os.environ.get("SRT_DEPTHWISE_UNROLL", "0") == "1"
 
 

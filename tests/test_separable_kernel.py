@@ -1,6 +1,6 @@
 """Correctness of the experimental fused separable-block Pallas kernel.
 
-The kernel (ops/pallas/separable_kernel.py) computes
+The kernel (ops/pallas/experiments/separable_kernel.py) computes
 relu6(a*x+b) -> depthwise conv -> pointwise conv -> (sum, sum-of-squares)
 in one VMEM pass, with a hand-written Pallas VJP that recomputes the
 prologue/depthwise chain instead of reloading stored intermediates.
@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from speech_recognition_tpu.ops.pallas.separable_kernel import (
+from speech_recognition_tpu.ops.pallas.experiments.separable_kernel import (
     fused_separable_block, fused_separable_block_vjp, reference_block,
 )
 
