@@ -46,6 +46,7 @@ def main():
     )
     from speech_recognition_tpu.export.keras_import import import_keras_hdf5
     from speech_recognition_tpu.labels import get_classes, prepare_words_list
+    from speech_recognition_tpu.models.keras_order import creation_order
     from speech_recognition_tpu.train.checkpoint import save_checkpoint
     from speech_recognition_tpu.train.loop import Trainer
 
@@ -66,7 +67,8 @@ def main():
     state = trainer.init_state()
     variables = {"params": state.params,
                  "batch_stats": state.batch_stats}
-    loaded = import_keras_hdf5(args.hdf5, variables)
+    loaded = import_keras_hdf5(args.hdf5, variables,
+                               module_order=creation_order(args.model))
     freeze = (core.freeze if isinstance(state.params, core.FrozenDict)
               else (lambda t: t))
     state = state.replace(

@@ -21,20 +21,21 @@ Weight-layout transforms handled:
 Matching guarantees (stated precisely): every source weight must be
 consumed exactly once by a (kind, shape)-compatible slot, and within
 each (kind, shape) group assignment is order-preserving — the i-th flax
-slot of a group gets the i-th Keras weight of that group. A checkpoint
-whose creation order differs from the flax module order *within a
-same-kind same-shape group* (e.g. two parallel branches with identical
-kernels) would therefore be transposed silently; such groups are
-reported via ``warnings.warn`` so the caller knows which assignments
-relied on order congruence, and the TF-twin logits goldens
-(tests/test_model_twins.py) pin end-to-end correctness for the branchy
-architectures (inception and friends) where the hazard is real.
+slot of a group gets the i-th Keras weight of that group. Flax slot
+order comes from the model's explicit creation-order manifest
+(``models/keras_order.py``; pass ``module_order=`` for every zoo-model
+import) — a module path missing from the manifest (e.g. after a rename)
+raises instead of silently transposing a same-shape group. Same-kind
+same-shape groups whose assignment relies on this order congruence are
+additionally reported via ``warnings.warn``, and the TF-twin logits
+goldens (tests/test_model_twins.py) pin end-to-end correctness for the
+branchy architectures (inception and friends) where the hazard is real.
 """
 
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List, Sequence, Tuple
 
 import numpy as np
 
@@ -60,14 +61,47 @@ def read_keras_weights(h5_path: str) -> List[Tuple[str, str, np.ndarray]]:
     return out
 
 
-def _ordered_leaves(tree: Any, prefix: Tuple[str, ...] = ()):
-    """Depth-first leaves with numeric-aware key ordering (flax names
-    modules Conv_0..Conv_10; plain sorting would misorder them)."""
-    if isinstance(tree, dict) or hasattr(tree, "items"):
-        for k in sorted(tree.keys(), key=_natural_key):
-            yield from _ordered_leaves(tree[k], prefix + (str(k),))
-    else:
+def _ordered_leaves(tree: Any, prefix: Tuple[str, ...] = (),
+                    order_index: Dict[str, int] = None):
+    """Depth-first leaves in slot-assignment order.
+
+    With ``order_index`` (module path -> creation position, from
+    models/keras_order.py), module children at every level walk in
+    creation order and an unknown module path fails loudly — a renamed
+    module can no longer silently transpose a same-shape group. Leaf
+    arrays keep numeric-aware name order (kinds disambiguate them).
+    Without it, all keys natural-sort (flax names modules
+    Conv_0..Conv_10; plain sorting would misorder them) — the legacy
+    behavior for bare-layer imports that have no manifest.
+    """
+    if not (isinstance(tree, dict) or hasattr(tree, "items")):
         yield prefix, tree
+        return
+    keys = list(tree.keys())
+    if order_index is None:
+        ordered = sorted(keys, key=_natural_key)
+    else:
+        dict_keys = [k for k in keys if hasattr(tree[k], "keys")]
+        unknown = [k for k in dict_keys
+                   if "/".join(prefix + (str(k),)) not in order_index]
+        if unknown:
+            raise ValueError(
+                f"module path(s) {unknown} under "
+                f"{'/'.join(prefix) or '<root>'} not in the Keras "
+                "creation-order manifest — regenerate it with `python "
+                "-m speech_recognition_tpu.models.keras_order` after "
+                "renaming/adding zoo modules")
+        # modules in creation order, then leaf arrays; capitals sort
+        # before lowercase so this matches the legacy order wherever
+        # creation order == natural order
+        ordered = sorted(
+            dict_keys,
+            key=lambda k: order_index["/".join(prefix + (str(k),))])
+        ordered += sorted((k for k in keys if k not in dict_keys),
+                          key=_natural_key)
+    for k in ordered:
+        yield from _ordered_leaves(tree[k], prefix + (str(k),),
+                                   order_index)
 
 
 def _transform(layer: str, weight_name: str,
@@ -97,8 +131,15 @@ def _transform(layer: str, weight_name: str,
 
 
 def import_keras_hdf5(h5_path: str, variables: Dict[str, Any],
+                      module_order: Sequence[str] = None,
                       ) -> Dict[str, Any]:
     """Load a Keras checkpoint into initialized flax ``variables``.
+
+    ``module_order`` — the model's creation-order manifest
+    (``models.keras_order.creation_order(name)``) — pins slot order to
+    Keras layer-creation order explicitly; pass it for every zoo-model
+    import. Without it, slot order falls back to natural module-name
+    sort (sufficient only for single-layer imports).
 
     Returns new variables ({'params': ..., 'batch_stats': ...}) with
     every leaf replaced by the corresponding Keras weight.
@@ -108,9 +149,14 @@ def import_keras_hdf5(h5_path: str, variables: Dict[str, Any],
         for kind, t in _transform(layer, wn, arr):
             sources.append((layer, kind, t))
 
+    order_index = (None if module_order is None
+                   else {p: i for i, p in enumerate(module_order)})
+
     # target slots: params + batch_stats, module-order
-    param_slots = list(_ordered_leaves(variables.get("params", {})))
-    stat_slots = list(_ordered_leaves(variables.get("batch_stats", {})))
+    param_slots = list(_ordered_leaves(variables.get("params", {}),
+                                       order_index=order_index))
+    stat_slots = list(_ordered_leaves(variables.get("batch_stats", {}),
+                                      order_index=order_index))
 
     def kind_of(path: Tuple[str, ...]) -> str:
         # flax BatchNorm stores beta as 'bias'; reclassify so BN betas

@@ -363,16 +363,12 @@ class Conv1DResidual(nn.Module):
         x = L.Residual1D(512 * fm, 3, strides=2)(x, train)
         x = L.Residual1D(728 * fm, 3, strides=2)(x, train)
         x = L.Residual1D(728 * fm, 3, strides=2)(x, train)
-        # explicit names sorting AFTER Residual1D_*: flax's natural-sort
-        # module order then matches Keras creation order, so same-shape
-        # depthwise kernels ([3,1,728] here) line up for checkpoint
-        # import (keras_import.py order-congruence requirement, pinned
-        # by the conv_1d_residual TF twin).
+        # The head blocks CREATE AFTER the Residual1D trunk but natural-
+        # sort BEFORE it; checkpoint import takes creation order from the
+        # explicit manifest (models/keras_order.py), not from names.
         x = L.DepthwiseConvBlock(1024 * fm, 3, padding="same",
-                                 strides=2,
-                                 name="za_head_reduce")(x, train)
-        x = L.DepthwiseConvBlock(1024 * fm, 3, padding="valid",
-                                 name="zb_head_context")(x, train)
+                                 strides=2)(x, train)
+        x = L.DepthwiseConvBlock(1024 * fm, 3, padding="valid")(x, train)
         x = L.global_avg_pool(x)
         x = nn.Dropout(0.5, deterministic=not train)(x)
         return L.Dense(self.num_classes)(x)
@@ -654,13 +650,11 @@ class _ResidualFeatureTrunk(nn.Module):
         for f, s in plan:
             x = L.Residual1D(f, 3, strides=s,
                              pool_mode="pool_eq_stride")(x, train)
-        # explicit name sorting AFTER Residual1D_*: the attention block's
-        # [3,1,256] depthwise kernel shares a (kind, shape) group with the
-        # trunk's f=256 blocks, so flax module order must match Keras
-        # creation order (keras_import order-congruence requirement,
-        # pinned by the conv_1d_log_mfcc/spectrogram TF twins).
-        att = L.DepthwiseConvBlock(1, 3, padding="same",
-                                   name="zz_attention")(x, train)
+        # The attention block's [3,1,256] depthwise kernel shares a
+        # (kind, shape) group with the trunk's f=256 blocks; checkpoint
+        # import takes creation order from the explicit manifest
+        # (models/keras_order.py), not from module names.
+        att = L.DepthwiseConvBlock(1, 3, padding="same")(x, train)
         att = jax.nn.softmax(att, axis=1)
         x = x * att
         x = L.global_avg_pool(x)
