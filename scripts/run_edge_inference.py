@@ -82,6 +82,25 @@ def main():
             "size_budget_5000000": bool(size < 5_000_000),
             "latency_budget_175ms": bool(ms < 175.0),
         }
+        # Peak memory, next to the reference's benchmark_model "max
+        # memory 2,180,436 bytes" row (README.md:155-157). Two numbers
+        # because they measure different things: max_rss_bytes is this
+        # PROCESS's high-water mark (includes the Python + JAX runtime,
+        # so it upper-bounds what the reference's bare graph-runner
+        # reported); device_peak_bytes is the accelerator-side
+        # high-water mark when the backend exposes allocator stats
+        # (TPU does; CPU returns nothing).
+        import resource
+        ru = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        report["max_rss_bytes"] = int(ru) * 1024  # Linux: KiB
+        try:
+            import jax
+            stats = jax.local_devices()[0].memory_stats() or {}
+            peak = stats.get("peak_bytes_in_use")
+            if peak is not None:
+                report["device_peak_bytes"] = int(peak)
+        except Exception:
+            pass
         print(json.dumps(report))
 
 

@@ -79,6 +79,19 @@ def test_batch1_latency_report(flagship_artifact):
     print(f"batch-1 latency: {ms:.2f} ms/clip on {jax.default_backend()} "
           f"(reference Pi 3: 58 ms)")
     assert ms < 10_000  # sanity only
+    # peak memory for the record, next to the reference's benchmark_model
+    # max memory 2,180,436 bytes (README.md:155-157): process RSS
+    # high-water (includes the Python+JAX runtime, an upper bound on the
+    # bare graph-runner figure) and, where the backend exposes allocator
+    # stats, the device-side peak
+    import resource
+    rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+    stats = jax.local_devices()[0].memory_stats() or {}
+    peak = stats.get("peak_bytes_in_use")
+    print(f"edge memory: max_rss={rss:,} bytes"
+          + (f", device_peak={peak:,} bytes" if peak else "")
+          + " (reference benchmark_model max memory: 2,180,436)")
+    assert rss > 0
 
 
 @pytest.fixture(scope="module")
