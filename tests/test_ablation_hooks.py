@@ -10,6 +10,7 @@ Defaults must remain reference-exact: no kwargs -> identical params.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from speech_recognition_tpu.config import (
     AugmentConfig, prepare_model_settings,
@@ -59,6 +60,7 @@ def test_default_model_kwargs_is_reference_exact():
                                va["params"], vb["params"]))
 
 
+@pytest.mark.slow  # >10s on a 1-vCPU host; fast tier keeps sibling coverage
 def test_trainer_threads_model_kwargs_and_lr_override():
     settings = prepare_model_settings(
         label_count=12, window_size_ms=30.0, window_stride_ms=10.0,

@@ -12,6 +12,7 @@ chains independent batches.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from speech_recognition_tpu.config import (
     AugmentConfig, prepare_model_settings,
@@ -34,6 +35,7 @@ def _trainer():
                    batch_size=16)
 
 
+@pytest.mark.slow  # >10s on a 1-vCPU host; fast tier keeps sibling coverage
 def test_benchmark_train_chunked_dispatch():
     trainer = _trainer()
     state = trainer.init_state()

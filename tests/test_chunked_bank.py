@@ -82,6 +82,7 @@ def test_dataset_decode_equivalence():
 
 
 @pytest.mark.parametrize("use_fused", [True, False])
+@pytest.mark.slow  # >10s on a 1-vCPU host; fast tier keeps sibling coverage
 def test_train_and_eval_equivalence(use_fused):
     """Same seeds, flat vs chunked bank: identical training metrics and
     identical evaluate() sweeps, on both augment paths."""

@@ -141,6 +141,7 @@ def test_fallback_paths_still_lax(restore_flag, monkeypatch):
         assert not calls
 
 
+@pytest.mark.slow  # >10s on a 1-vCPU host; fast tier keeps sibling coverage
 def test_flagship_logits_invariant_under_lowering(restore_flag):
     """End-to-end: flagship logits are the same function under either
     lowering (f32, tight tolerance)."""

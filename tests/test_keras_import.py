@@ -95,6 +95,7 @@ def test_import_mismatch_raises(tmp_path):
         import_keras_hdf5(p, variables)
 
 
+@pytest.mark.slow  # >10s on a 1-vCPU host; fast tier keeps sibling coverage
 def test_import_checkpoint_cli(tmp_path):
     """scripts/import_checkpoint.py end to end: Keras hdf5 -> orbax
     checkpoint that restores into a fresh Trainer state with the

@@ -2,6 +2,8 @@
 
 import sys
 
+import pytest
+
 from speech_recognition_tpu.config import prepare_model_settings
 
 sys.path.insert(0, "scripts")
@@ -27,6 +29,7 @@ def test_flagship_report():
     assert info["optimizer"] == "rmsprop"
 
 
+@pytest.mark.slow  # >10s on a 1-vCPU host; fast tier keeps sibling coverage
 def test_over_budget_model_flagged():
     info = model_info("steffeNet", _settings())
     assert info["fits_pi_budget"] is False

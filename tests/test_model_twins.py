@@ -92,11 +92,12 @@ def goldens():
 
 # Fast-tier subset: the three order-sensitive models (where the
 # keras_order manifest — not natural sort — carries same-shape weight
-# assignment) plus the flagship and one branchy architecture. The other
-# 20 twins run under the slow tier only (25 × 1-vCPU compiles blow the
-# fast-suite budget; full sweep nightly — VERDICT r4 weak #2).
+# assignment) plus the flagship. The other 21 twins run under the slow
+# tier only (25 × 1-vCPU compiles blow the fast-suite budget — the
+# inception twin alone costs 53 s; full sweep nightly — VERDICT r4
+# weak #2).
 FAST_TWINS = {"conv_1d_residual", "conv_1d_log_mfcc",
-              "conv_1d_spectrogram", "conv_1d_time_sliced", "inception"}
+              "conv_1d_spectrogram", "conv_1d_time_sliced"}
 
 
 @pytest.mark.parametrize(

@@ -4,6 +4,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from speech_recognition_tpu.config import (
     AugmentConfig, prepare_model_settings,
@@ -31,10 +32,12 @@ def _run_one_step(model_name, representation, num_log_mel_features=60):
     return trainer
 
 
+@pytest.mark.slow  # >10s on a 1-vCPU host; fast tier keeps sibling coverage
 def test_spec_representation_training():
     _run_one_step("conv_1d_spec", "spec")
 
 
+@pytest.mark.slow  # >10s on a 1-vCPU host; fast tier keeps sibling coverage
 def test_mfcc_and_raw_representation_training():
     # two-input model: features are a (mfcc_flat, raw) tuple end-to-end
     _run_one_step("conv_1d_mfcc_and_raw", "mfcc_and_raw")

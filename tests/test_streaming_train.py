@@ -108,6 +108,42 @@ def test_stream_many_matches_sequential(corpus):
                                    rtol=2e-4, atol=2e-6)
 
 
+def test_int16_wire_format_matches_prescaled_f32(corpus):
+    """The loader ships raw int16 (half the link bytes); the stream
+    step's on-device 1/32768 scale must be bit-identical to feeding
+    host-prescaled f32 — same multiply, just on the other side of the
+    link."""
+    import jax.numpy as jnp
+
+    from speech_recognition_tpu.data.wav import INT16_DECODE_SCALE
+
+    settings = prepare_model_settings(
+        label_count=12, output_representation="mfcc",
+        dct_coefficient_count=40, num_log_mel_features=40)
+
+    def make():
+        tr = Trainer(model_name="simple", settings=settings,
+                     dataset=None, batch_size=16)
+        return tr, tr.init_state()
+
+    t1, s1 = make()
+    with _loader(corpus, t1, 16) as loader:
+        wav_i16, lab, sil = next(loader)
+    assert wav_i16.dtype == jnp.int16
+    key = jax.random.PRNGKey(3)
+    s1, m1 = t1.train_step_stream(s1, key, wav_i16, lab, sil)
+
+    t2, s2 = make()
+    wav_f32 = jnp.asarray(np.asarray(wav_i16), jnp.float32) \
+        / INT16_DECODE_SCALE
+    s2, m2 = t2.train_step_stream(s2, key, wav_f32, lab, sil)
+
+    assert float(m1["loss"]) == float(m2["loss"])
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_fit_streaming_chunked_dispatch(corpus):
     """fit_streaming(steps_per_dispatch=K) with a non-multiple step
     count runs the tail and keeps the step counter exact."""
@@ -149,6 +185,7 @@ def test_stream_step_without_any_dataset(corpus):
         trainer.evaluate(state)
 
 
+@pytest.mark.slow  # >10s on a 1-vCPU host; fast tier keeps sibling coverage
 def test_streaming_bn_recalibration(corpus):
     # a BN model's running stats can be re-estimated from streamed
     # batches (short-schedule eval fix, mirroring the bank path)

@@ -4,6 +4,7 @@ DP sharding on the 8-device CPU mesh, checkpoint roundtrip."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from speech_recognition_tpu.config import (
     AugmentConfig, prepare_model_settings,
@@ -171,6 +172,7 @@ def test_eval_and_fit_epoch():
     assert history["clips_per_sec"][0] > 0
 
 
+@pytest.mark.slow  # >10s on a 1-vCPU host; fast tier keeps sibling coverage
 def test_train_many_matches_sequential_steps():
     """train_many (scan-of-K dispatch) must be step-for-step the same
     update as K train_step calls with the same key sequence — it exists
@@ -195,6 +197,7 @@ def test_train_many_matches_sequential_steps():
                                    rtol=2e-4, atol=2e-6)
 
 
+@pytest.mark.slow  # >10s on a 1-vCPU host; fast tier keeps sibling coverage
 def test_fit_steps_per_dispatch_tail():
     """fit(steps_per_dispatch=K) with an epoch length that is not a
     multiple of K must run the tail chunk and keep history intact."""
@@ -254,6 +257,7 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow  # >10s on a 1-vCPU host; fast tier keeps sibling coverage
 def test_checkpoint_resume_is_bit_exact(tmp_path):
     """The checkpoint module claims bit-exact resume: training K steps
     from a restored checkpoint must equal training K steps from the
