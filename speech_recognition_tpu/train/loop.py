@@ -23,6 +23,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from speech_recognition_tpu.config import AugmentConfig, ModelSettings
 from speech_recognition_tpu.data.device_bank import DeviceDataset
+from speech_recognition_tpu.data.wav import INT16_DECODE_SCALE
 from speech_recognition_tpu.models import build_model
 from speech_recognition_tpu.ops.augment import augment_batch
 from speech_recognition_tpu.ops.frontend import Frontend
@@ -330,15 +331,21 @@ class Trainer:
     def _stream_step(self, state: TrainState, key: jax.Array,
                      wav: jax.Array, labels: jax.Array,
                      silence: jax.Array, background):
-        """Train step on a host-streamed batch (decoded f32 waveforms).
+        """Train step on a host-streamed batch.
 
-        Sampling/decode happened on the host (HostPrefetchLoader);
-        device-side augmentation with the background bank and the
-        feature frontend are unchanged vs the bank path.
+        Sampling/decode happened on the host (HostPrefetchLoader); the
+        batch arrives as raw int16 (the loader's wire format — half the
+        link bytes of f32) and the 1/32768 decode scale runs here,
+        on-device, where XLA fuses it into the augment graph. f32 input
+        is still accepted for callers that pre-scale. Device-side
+        augmentation with the background bank and the feature frontend
+        are unchanged vs the bank path.
         """
         k_aug, k_drop = jax.random.split(key)
         wav, labels, silence = constrain_batch(
             (wav, labels, silence), self.mesh)
+        if jnp.issubdtype(wav.dtype, jnp.integer):
+            wav = wav.astype(jnp.float32) / INT16_DECODE_SCALE
         wav = augment_batch(k_aug, wav, silence, self.augment,
                             background=background, training=True)
         x = self._features(wav)
